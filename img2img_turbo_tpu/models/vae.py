@@ -1,0 +1,258 @@
+"""AutoencoderKL-equivalent VAE with first-class skip taps and skip fusion.
+
+The reference monkey-patches the diffusers VAE: the encoder stores each
+down-block *input* on `self.current_down_blocks`, and the decoder reads
+`self.incoming_skip_acts` / `self.gamma` / `self.ignore_skip` attributes and
+adds four "zero-conv" projections before its up-blocks
+(reference: src/model.py:14-54, skip convs at src/pix2pix_turbo.py:40-43).
+
+Here that dataflow is explicit and functional:
+- `encode(params, cfg, x)` returns `(moments, skips)` — skips are the four
+  down-block input activations, returned, not stashed on an object.
+- `decode(params, cfg, z, skips, gamma)` takes the skips and the gamma blend
+  factor as arguments (`gamma` is a traced scalar so the stochastic r-path
+  jits into a single program).
+
+Numerics follow diffusers' AutoencoderKL (SD 2.x VAE): GroupNorm(32, eps
+1e-6), SiLU, asymmetric (0,1)x(0,1) padded stride-2 downsample convs,
+nearest-2x upsampling, single-head mid-block attention with biased
+projections, quant/post-quant 1x1 convs, DiagonalGaussian with logvar
+clipped to [-30, 20].
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from img2img_turbo_tpu.configs import VAEConfig
+from img2img_turbo_tpu.models import layers as L
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _init_resnet(key, in_ch: int, out_ch: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": L.init_group_norm(in_ch),
+        "conv1": L.init_conv2d(k1, in_ch, out_ch, 3),
+        "norm2": L.init_group_norm(out_ch),
+        "conv2": L.init_conv2d(k2, out_ch, out_ch, 3),
+    }
+    if in_ch != out_ch:
+        p["conv_shortcut"] = L.init_conv2d(k3, in_ch, out_ch, 1)
+    return p
+
+
+def _resnet(p, x, cfg: VAEConfig):
+    h = L.group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
+    h = L.conv2d(p["conv1"], L.silu(h))
+    h = L.group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
+    h = L.conv2d(p["conv2"], L.silu(h))
+    if "conv_shortcut" in p:
+        x = L.conv2d(p["conv_shortcut"], x)
+    return x + h
+
+
+def _init_mid_attn(key, ch: int):
+    keys = jax.random.split(key, 4)
+    return {
+        "norm": L.init_group_norm(ch),
+        "to_q": L.init_linear(keys[0], ch, ch, bias=True),
+        "to_k": L.init_linear(keys[1], ch, ch, bias=True),
+        "to_v": L.init_linear(keys[2], ch, ch, bias=True),
+        "to_out": L.init_linear(keys[3], ch, ch, bias=True),
+    }
+
+
+def _mid_attn(p, x, cfg: VAEConfig):
+    """Single-head spatial self-attention with residual (SD VAE attn_1)."""
+    b, h, w, c = x.shape
+    hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.norm_eps)
+    hidden = hidden.reshape(b, h * w, c)
+    q = L.linear(p["to_q"], hidden)[:, None]  # (b, 1 head, s, c)
+    k = L.linear(p["to_k"], hidden)[:, None]
+    v = L.linear(p["to_v"], hidden)[:, None]
+    from img2img_turbo_tpu.ops.attention import scaled_dot_product_attention
+    o = scaled_dot_product_attention(q, k, v)[:, 0]
+    o = L.linear(p["to_out"], o).reshape(b, h, w, c)
+    return x + o
+
+
+def _init_mid(key, ch: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "res1": _init_resnet(k1, ch, ch),
+        "attn": _init_mid_attn(k2, ch),
+        "res2": _init_resnet(k3, ch, ch),
+    }
+
+
+def _mid(p, x, cfg: VAEConfig):
+    x = _resnet(p["res1"], x, cfg)
+    x = _mid_attn(p["attn"], x, cfg)
+    return _resnet(p["res2"], x, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def init_encoder(key, cfg: VAEConfig):
+    chans = cfg.block_out_channels
+    keys = jax.random.split(key, cfg.num_levels + 4)
+    down = []
+    in_ch = chans[0]
+    for i, out_ch in enumerate(chans):
+        bkeys = jax.random.split(keys[i], cfg.layers_per_block + 1)
+        resnets = []
+        for j in range(cfg.layers_per_block):
+            resnets.append(_init_resnet(bkeys[j], in_ch if j == 0 else out_ch,
+                                        out_ch))
+        block = {"resnets": resnets}
+        if i < cfg.num_levels - 1:
+            block["downsample"] = L.init_conv2d(bkeys[-1], out_ch, out_ch, 3)
+        down.append(block)
+        in_ch = out_ch
+    return {
+        "conv_in": L.init_conv2d(keys[-4], cfg.in_channels, chans[0], 3),
+        "down": down,
+        "mid": _init_mid(keys[-3], chans[-1]),
+        "norm_out": L.init_group_norm(chans[-1]),
+        "conv_out": L.init_conv2d(keys[-2], chans[-1],
+                                  2 * cfg.latent_channels, 3),
+    }
+
+
+def encoder_forward(p, cfg: VAEConfig, x) -> Tuple[jax.Array, List[jax.Array]]:
+    """Returns (moments (B,H/8,W/8,2*latent), skips[4]).
+
+    skips[i] is the *input* activation of down-block i, matching the
+    reference's `current_down_blocks` tap (src/model.py:17-22).
+    """
+    sample = L.conv2d(p["conv_in"], x)
+    skips = []
+    for i, block in enumerate(p["down"]):
+        skips.append(sample)
+        for res in block["resnets"]:
+            sample = _resnet(res, sample, cfg)
+        if "downsample" in block:
+            sample = L.conv2d(block["downsample"], sample, stride=2,
+                              padding=[(0, 1), (0, 1)])
+    sample = _mid(p["mid"], sample, cfg)
+    sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
+                          cfg.norm_eps)
+    sample = L.conv2d(p["conv_out"], L.silu(sample))
+    return sample, skips
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def init_decoder(key, cfg: VAEConfig, with_skip_convs: bool = True,
+                 skip_init: float = 1e-5):
+    chans = list(reversed(cfg.block_out_channels))
+    keys = jax.random.split(key, cfg.num_levels + 5)
+    up = []
+    in_ch = chans[0]
+    for i, out_ch in enumerate(chans):
+        bkeys = jax.random.split(keys[i], cfg.layers_per_block + 2)
+        resnets = []
+        for j in range(cfg.layers_per_block + 1):
+            resnets.append(_init_resnet(bkeys[j], in_ch if j == 0 else out_ch,
+                                        out_ch))
+        block = {"resnets": resnets}
+        if i < cfg.num_levels - 1:
+            block["upsample"] = L.init_conv2d(bkeys[-1], out_ch, out_ch, 3)
+        up.append(block)
+        in_ch = out_ch
+    p = {
+        "conv_in": L.init_conv2d(keys[-5], cfg.latent_channels, chans[0], 3),
+        "mid": _init_mid(keys[-4], chans[0]),
+        "up": up,
+        "norm_out": L.init_group_norm(chans[-1]),
+        "conv_out": L.init_conv2d(keys[-3], chans[-1], cfg.out_channels, 3),
+    }
+    if with_skip_convs:
+        # bias-free 1x1 zero-convs, constant-initialized (reference:
+        # src/pix2pix_turbo.py:133-136 / src/cyclegan_turbo.py:95-98)
+        p["skip_convs"] = [
+            {"kernel": jnp.full((1, 1, ic, oc), skip_init, jnp.float32)}
+            for ic, oc in cfg.skip_conv_channels
+        ]
+    return p
+
+
+def decoder_forward(p, cfg: VAEConfig, z,
+                    skips: Optional[List[jax.Array]] = None,
+                    gamma=1.0):
+    """Decode latents; if `skips` is given, fuse them through the zero-convs
+    before each up-block (reference: src/model.py:36-44)."""
+    sample = L.conv2d(p["conv_in"], z)
+    sample = _mid(p["mid"], sample, cfg)
+    for i, block in enumerate(p["up"]):
+        if skips is not None:
+            skip_act = skips[::-1][i]
+            skip_in = L.conv2d(p["skip_convs"][i],
+                               skip_act * jnp.asarray(gamma, skip_act.dtype))
+            sample = sample + skip_in
+        for res in block["resnets"]:
+            sample = _resnet(res, sample, cfg)
+        if "upsample" in block:
+            sample = L.conv2d(block["upsample"],
+                              L.upsample_nearest_2x(sample))
+    sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
+                          cfg.norm_eps)
+    sample = L.conv2d(p["conv_out"], L.silu(sample))
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# Full AutoencoderKL equivalent
+# ---------------------------------------------------------------------------
+
+
+def init_vae(key, cfg: VAEConfig, with_skip_convs: bool = True,
+             skip_init: float = 1e-5):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "encoder": init_encoder(k1, cfg),
+        "decoder": init_decoder(k2, cfg, with_skip_convs, skip_init),
+        "quant_conv": L.init_conv2d(k3, 2 * cfg.latent_channels,
+                                    2 * cfg.latent_channels, 1),
+        "post_quant_conv": L.init_conv2d(k4, cfg.latent_channels,
+                                         cfg.latent_channels, 1),
+    }
+
+
+def encode(params, cfg: VAEConfig, x, rng=None, sample_posterior: bool = True):
+    """x (B,H,W,3) -> (latents (B,H/8,W/8,4) *unscaled*, skips).
+
+    The reference always *samples* the posterior, even at inference
+    (src/pix2pix_turbo.py:198: `.latent_dist.sample()`), so `rng` is required
+    unless sample_posterior=False (then the mode/mean is returned).
+    """
+    moments, skips = encoder_forward(params["encoder"], cfg, x)
+    moments = L.conv2d(params["quant_conv"], moments)
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    if not sample_posterior:
+        return mean, skips
+    logvar = jnp.clip(logvar.astype(jnp.float32), -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar).astype(mean.dtype)
+    noise = jax.random.normal(rng, mean.shape, mean.dtype)
+    return mean + std * noise, skips
+
+
+def decode(params, cfg: VAEConfig, z, skips=None, gamma=1.0):
+    """Unscaled latents -> image in [-1, 1] range (unclamped; pipelines
+    clamp, matching reference pix2pix_turbo.py:203)."""
+    z = L.conv2d(params["post_quant_conv"], z)
+    return decoder_forward(params["decoder"], cfg, z, skips, gamma)

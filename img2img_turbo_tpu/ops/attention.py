@@ -1,0 +1,138 @@
+"""Attention kernels.
+
+The reference gets memory-efficient attention from xformers CUDA kernels
+(reference: src/train_pix2pix_turbo.py:52-56, src/inference_unpaired.py:36).
+The TPU answer is a Pallas flash-attention kernel: online-softmax over KV
+blocks so the (Sq, Skv) score matrix never hits HBM. The UNet's largest
+attention is 64x64 = 4096 latent tokens of self-attention at 512^2 input
+(plus 77-token cross-attention, which is small enough for the XLA path).
+
+All kernels take (B, H, S, head_dim) tensors. Softmax statistics are fp32;
+MXU matmuls take bf16/fp32 inputs with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def scaled_dot_product_attention(q, k, v):
+    """XLA reference attention. q: (B, H, Sq, d), k/v: (B, H, Skv, d)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (non-causal; full KV resident in VMEM per (b, h))
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                  block_k: int, seq_kv: int, kv_pad: int):
+    q = q_ref[0]  # (block_q, d)
+    block_q, d = q.shape
+    nk = (seq_kv + kv_pad) // block_k
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if kv_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + i * block_k < seq_kv, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
+    """Flash attention via Pallas. q: (B, H, Sq, d), k/v: (B, H, Skv, d).
+
+    Sq must be divisible by the (possibly shrunk) q block; KV is padded to a
+    block multiple and masked. Falls back to shrinking block sizes for short
+    sequences.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
+    if sq % block_q != 0:
+        # shrink to gcd-ish power of two
+        while sq % block_q != 0 and block_q > 8:
+            block_q //= 2
+        if sq % block_q != 0:
+            return scaled_dot_product_attention(q, k, v)
+    kv_pad = (-skv) % block_k
+    if kv_pad:
+        pad = [(0, 0), (0, 0), (0, kv_pad), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    sm_scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    qr = q.reshape(bh, sq, d)
+    kr = k.reshape(bh, skv + kv_pad, d)
+    vr = v.reshape(bh, skv + kv_pad, d)
+
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, block_k=block_k, seq_kv=skv,
+        kv_pad=kv_pad)
+    grid = (bh, sq // block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv + kv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv + kv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * (skv + kv_pad) * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * (skv + kv_pad),
+        ),
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq, d)
+
+
+def default_attention(q, k, v):
+    """Dispatch: Pallas flash attention on TPU, XLA elsewhere (CPU tests).
+
+    Decided at trace time from the default backend, so the choice is baked
+    into the compiled program.
+    """
+    if jax.default_backend() == "tpu" and q.shape[2] >= 256:
+        return flash_attention(q, k, v)
+    return scaled_dot_product_attention(q, k, v)
