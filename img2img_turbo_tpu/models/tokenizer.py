@@ -58,10 +58,6 @@ def _whitespace_clean(text: str) -> str:
 class CLIPTokenizer:
     """CLIP BPE tokenizer with the HF CLIPTokenizer call surface we need."""
 
-    PAT = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", re.IGNORECASE)
-
     def __init__(self, vocab_path: str, merges_path: str,
                  model_max_length: int = 77, pad_token: str = "!"):
         # fall back to a non-\p pattern if `regex` is unavailable
@@ -94,8 +90,21 @@ class CLIPTokenizer:
                       "<|endoftext|>": "<|endoftext|>"}
         self.bos_token_id = self.encoder["<|startoftext|>"]
         self.eos_token_id = self.encoder["<|endoftext|>"]
+        self.pad_token = pad_token
         self.pad_token_id = self.encoder.get(pad_token, self.eos_token_id)
         self.model_max_length = model_max_length
+        # HF registers pad/bos/eos as *special* tokens: literal occurrences
+        # in the text are split out before BPE (so "!!" with pad "!" becomes
+        # two bare pad ids, not "! !</w>")
+        self.special_tokens = {
+            "<|startoftext|>": self.bos_token_id,
+            "<|endoftext|>": self.eos_token_id,
+            pad_token: self.pad_token_id,
+        }
+        self._special_re = re.compile(
+            "(" + "|".join(re.escape(t) for t in
+                           sorted(self.special_tokens, key=len,
+                                  reverse=True)) + ")")
 
     @classmethod
     def from_dir(cls, path: str, **kw) -> "CLIPTokenizer":
@@ -140,14 +149,26 @@ class CLIPTokenizer:
         self.cache[token] = out
         return out
 
-    def encode_text(self, text: str) -> List[int]:
-        """Raw BPE ids, no special tokens."""
-        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+    def _encode_plain(self, text: str) -> List[int]:
         ids: List[int] = []
         for token in self._pat.findall(text):
             token = "".join(self.byte_encoder[b]
                             for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return ids
+
+    def encode_text(self, text: str) -> List[int]:
+        """Raw BPE ids (special-token literals split out first), no
+        bos/eos wrapping."""
+        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        ids: List[int] = []
+        for piece in self._special_re.split(text):
+            if not piece:
+                continue
+            if piece in self.special_tokens:
+                ids.append(self.special_tokens[piece])
+            else:
+                ids.extend(self._encode_plain(piece))
         return ids
 
     def __call__(self, text: Union[str, Sequence[str]],

@@ -1,0 +1,96 @@
+"""Tests for on-device image ops: canny vs cv2 ground truth, resize, ranges,
+and flash attention vs the XLA reference."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from img2img_turbo_tpu.ops import canny as canny_mod
+from img2img_turbo_tpu.ops import image as image_mod
+from img2img_turbo_tpu.ops.attention import (flash_attention,
+                                             scaled_dot_product_attention)
+
+
+class TestCanny:
+    def _f1(self, ours, theirs):
+        ours = ours > 0
+        theirs = theirs > 0
+        tp = np.sum(ours & theirs)
+        if tp == 0:
+            return 0.0
+        prec = tp / max(np.sum(ours), 1)
+        rec = tp / max(np.sum(theirs), 1)
+        return 2 * prec * rec / (prec + rec)
+
+    @pytest.mark.parametrize("low,high", [(100, 200), (50, 150)])
+    def test_agreement_with_cv2_on_reference_example(self, low, high):
+        import cv2
+        from PIL import Image
+
+        img = Image.open(
+            "/root/reference/assets/examples/bird.png").convert("RGB")
+        img = img.resize((256, 256), Image.LANCZOS)
+        arr = np.asarray(img, np.uint8)
+
+        expected = cv2.Canny(arr, low, high)
+        got = np.asarray(canny_mod.canny(
+            jnp.asarray(arr)[None], float(low), float(high)))[0]
+        f1 = self._f1(got, expected)
+        assert f1 > 0.85, f"canny F1 vs cv2 = {f1:.3f}"
+
+    def test_3ch_unit_output_range_and_shape(self):
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 255, (1, 64, 64, 3), np.uint8)
+        out = np.asarray(canny_mod.canny_3ch_unit(jnp.asarray(arr)))
+        assert out.shape == (1, 64, 64, 3)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+        # all three channels identical (replicated)
+        assert (out[..., 0] == out[..., 1]).all()
+
+    def test_blank_image_no_edges(self):
+        arr = np.full((1, 32, 32, 3), 128, np.uint8)
+        out = np.asarray(canny_mod.canny(jnp.asarray(arr)))
+        assert out.sum() == 0
+
+    def test_jit_compiles(self):
+        f = jax.jit(canny_mod.canny)
+        arr = np.zeros((1, 32, 32, 3), np.uint8)
+        out = f(jnp.asarray(arr))
+        assert out.shape == (1, 32, 32)
+
+
+class TestImageOps:
+    def test_uint8_roundtrip(self):
+        x = np.arange(0, 256, dtype=np.uint8).reshape(1, 16, 16, 1)
+        signed = image_mod.uint8_to_signed(jnp.asarray(x))
+        assert float(signed.min()) == -1.0 and float(signed.max()) == 1.0
+        back = np.asarray(image_mod.signed_to_uint8(signed))
+        np.testing.assert_array_equal(back, x)
+
+    def test_crop_to_multiple(self):
+        assert image_mod.crop_to_multiple(517, 511) == (512, 504)
+
+    def test_resize_shape(self):
+        x = jnp.zeros((2, 100, 80, 3))
+        y = image_mod.resize(x, 64, 64)
+        assert y.shape == (2, 64, 64, 3)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("sq,skv", [(256, 256), (256, 77), (1024, 1024)])
+    def test_matches_xla_reference(self, sq, skv):
+        # on CPU pallas runs in interpret mode implicitly? No — use the XLA
+        # path shape-for-shape via interpret fallback below.
+        rng = np.random.RandomState(0)
+        q = rng.randn(1, 2, sq, 64).astype(np.float32)
+        k = rng.randn(1, 2, skv, 64).astype(np.float32)
+        v = rng.randn(1, 2, skv, 64).astype(np.float32)
+        expected = np.asarray(scaled_dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                block_q=128, block_k=128))
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
