@@ -1,0 +1,105 @@
+"""Device mesh + sharding rules.
+
+The reference's entire distribution story is accelerate/NCCL DDP
+(train_pix2pix_turbo.py:28-32,120-123; NCCL_P2P_DISABLE=1 in
+docs/training_cyclegan_turbo.md:47). The TPU-native replacement is a
+`jax.sharding.Mesh` with a `data` axis (DP over ICI; gradient psum emitted
+by XLA from sharding annotations alone) and an optional `model` axis for
+tensor parallelism (channel/head sharding of the UNet for >1-chip serving
+latency — beyond reference capability, SURVEY.md §2c).
+
+No backend env vars, no wrapper layer: sharding annotations replace the
+whole accelerate stack. Multi-host would extend the same mesh over DCN via
+jax.distributed; process-0 gating is `jax.process_index() == 0`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """(data, model) mesh. Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"requested {n_data}x{n_model} mesh but only {len(devices)} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Device-put a pytree of batch-leading arrays, sharded over data."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel param sharding rules (optional `model` axis)
+# ---------------------------------------------------------------------------
+
+
+def _tp_spec_for(path_keys: Tuple[str, ...], leaf) -> P:
+    """Channel-sharding heuristic for UNet/VAE param trees:
+
+    - attention to_q/to_k/to_v kernels: shard output dim (head-parallel)
+    - attention to_out kernels: shard input dim (row-parallel; psum fuses)
+    - conv kernels: shard output channels; biases follow their kernel
+    - norms / small tensors: replicated
+    """
+    keys = [str(k) for k in path_keys]
+    name = keys[-1]
+    parent = keys[-2] if len(keys) >= 2 else ""
+    if leaf.ndim == 2:
+        if parent in ("to_q", "to_k", "to_v") or parent in ("proj", "fc1"):
+            return P(None, MODEL_AXIS) if name == "kernel" else P(MODEL_AXIS)
+        if parent in ("to_out", "out", "fc2"):
+            return P(MODEL_AXIS, None) if name == "kernel" else P()
+    if leaf.ndim == 4 and name == "kernel" and leaf.shape[-1] % 2 == 0:
+        return P(None, None, None, MODEL_AXIS)
+    # norms, biases, embeddings: replicated (cheap relative to matmul weights)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, tensor_parallel: bool = False):
+    """NamedSharding tree for params: replicated by default, channel-sharded
+    over the model axis when tensor_parallel (and the axis size > 1)."""
+    if not tensor_parallel or mesh.shape[MODEL_AXIS] == 1:
+        s = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: s, params)
+
+    def to_sharding(path, leaf):
+        keys = tuple(getattr(k, "key", getattr(k, "idx", k)) for k in path)
+        spec = _tp_spec_for(keys, leaf)
+        # only shard dims divisible by the axis size
+        n = mesh.shape[MODEL_AXIS]
+        for dim, axis in enumerate(spec):
+            if axis is not None and leaf.shape[dim] % n != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)

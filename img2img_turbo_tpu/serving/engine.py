@@ -1,0 +1,98 @@
+"""Serving engine: the uint8-in/uint8-out compiled path.
+
+The whole serving pipeline — uint8 decode -> (optional on-device canny) ->
+normalize -> VAE encode -> UNet(t=999) -> denoise -> skip-fused decode ->
+uint8 — is ONE jitted XLA program per (batch, H, W) bucket, with prompt
+embeddings precomputed and cached (BASELINE.json north star; the reference
+crosses host<->device repeatedly: cv2 canny on host, ToTensor, .cuda(),
+.cpu(), ToPILImage — inference_paired.py:42-75).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from img2img_turbo_tpu import scheduler
+from img2img_turbo_tpu.models import unet as unet_mod, vae as vae_mod
+from img2img_turbo_tpu.ops import canny as canny_mod, image as image_mod
+from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
+
+
+def _serve_edge(params, cfgs: GeneratorConfigs, alphas, image_u8,
+                caption_enc, rng, low: float, high: float):
+    """uint8 RGB -> canny control -> one-step generator -> uint8 RGB."""
+    c_t = canny_mod.canny_3ch_unit(image_u8, low, high)
+    c_t = c_t.astype(caption_enc.dtype)
+    s = cfgs.vae.scaling_factor
+    z, skips = vae_mod.encode(params["vae"], cfgs.vae, c_t, rng)
+    z = z * s
+    t = jnp.full((c_t.shape[0],), scheduler.ONE_STEP_T, jnp.int32)
+    eps = unet_mod.unet_forward(params["unet"], cfgs.unet, z, t, caption_enc)
+    x0 = scheduler.ddpm_x0_step(eps, z, t, alphas)
+    img = vae_mod.decode(params["vae"], cfgs.vae, x0 / s, skips, gamma=1.0)
+    return image_mod.signed_to_uint8(img)
+
+
+def _serve_image(params, cfgs: GeneratorConfigs, alphas, image_u8,
+                 caption_enc, rng):
+    """uint8 RGB -> [-1,1] -> generator -> uint8 (CycleGAN-style input)."""
+    c_t = image_mod.uint8_to_signed(image_u8).astype(caption_enc.dtype)
+    s = cfgs.vae.scaling_factor
+    z, skips = vae_mod.encode(params["vae"], cfgs.vae, c_t, rng)
+    z = z * s
+    t = jnp.full((c_t.shape[0],), scheduler.ONE_STEP_T, jnp.int32)
+    eps = unet_mod.unet_forward(params["unet"], cfgs.unet, z, t, caption_enc)
+    x0 = scheduler.ddpm_x0_step(eps, z, t, alphas)
+    img = vae_mod.decode(params["vae"], cfgs.vae, x0 / s, skips, gamma=1.0)
+    return image_mod.signed_to_uint8(img)
+
+
+class ServingEngine:
+    """Compiled one-step translation server.
+
+    mode: "edge_to_image" (canny preprocessing on device) or "image"
+    (direct [-1,1] input, CycleGAN-style).
+    """
+
+    def __init__(self, params: Dict, cfgs: Optional[GeneratorConfigs] = None,
+                 mode: str = "edge_to_image", dtype=jnp.bfloat16,
+                 canny_low: float = 100.0, canny_high: float = 200.0,
+                 donate_input: bool = True):
+        self.cfgs = cfgs or GeneratorConfigs()
+        self.mode = mode
+        self.dtype = dtype
+        alphas = scheduler.make_alphas_cumprod()
+        self.params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+            params)
+        if mode == "edge_to_image":
+            fn = functools.partial(_serve_edge, cfgs=self.cfgs,
+                                   alphas=alphas, low=canny_low,
+                                   high=canny_high)
+        elif mode == "image":
+            fn = functools.partial(_serve_image, cfgs=self.cfgs,
+                                   alphas=alphas)
+        else:
+            raise ValueError(f"unknown serving mode {mode!r}")
+        self._fn = jax.jit(fn, donate_argnames=("image_u8",)
+                           if donate_input else ())
+
+    def __call__(self, image_u8, caption_enc, rng=None):
+        """image_u8: (B, H, W, 3) uint8 on host or device. Returns uint8
+        (B, H, W, 3) on device."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if caption_enc.shape[0] != image_u8.shape[0]:
+            caption_enc = jnp.broadcast_to(
+                caption_enc, (image_u8.shape[0],) + caption_enc.shape[1:])
+        return self._fn(params=self.params, image_u8=jnp.asarray(image_u8),
+                        caption_enc=caption_enc.astype(self.dtype), rng=rng)
+
+    def warmup(self, batch: int, height: int, width: int, caption_enc):
+        dummy = jnp.zeros((batch, height, width, 3), jnp.uint8)
+        self(dummy, caption_enc).block_until_ready()
+        return self

@@ -1,0 +1,193 @@
+"""Paired (pix2pix-turbo) training: 4-pass adversarial step + loop.
+
+Step semantics mirror the reference exactly
+(train_pix2pix_turbo.py:168-225) — four sequential optimize passes per
+iteration, each its own forward/grad/update:
+  1. generator: L2*λ_l2 + LPIPS*λ_lpips (+ CLIP-sim*λ_clipsim) -> AdamW step
+  2. generator: SECOND full forward -> GAN-G loss * λ_gan -> AdamW step
+  3. discriminator: real loss * λ_gan -> step
+  4. discriminator: fake loss (pred detached) * λ_gan -> step
+— but fused into ONE jitted program (donated state). DP comes from sharding
+the batch over the mesh's data axis; XLA inserts the gradient psums.
+
+Trainable generator subtree (reference set_train, pix2pix_turbo.py:176-184):
+UNet LoRA + conv_in (full), VAE LoRA + 4 skip convs. Everything else frozen.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from img2img_turbo_tpu import lora as lora_mod, scheduler
+from img2img_turbo_tpu.models import clip_text, clip_vit
+from img2img_turbo_tpu.pipelines.pix2pix import (GeneratorConfigs,
+                                                 generate_deterministic)
+from img2img_turbo_tpu.training import losses as losses_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraMeta:
+    rank_unet: int = 8
+    alpha_unet: float = 8.0
+    rank_vae: int = 4
+    alpha_vae: float = 8.0
+
+
+def split_trainable(unet_base, vae_base, unet_lora, vae_lora
+                    ) -> Tuple[Dict, Dict, LoraMeta]:
+    """-> (trainable gen subtree, frozen tree, lora meta)."""
+    gen = {
+        "unet_lora": unet_lora["modules"],
+        "vae_lora": vae_lora["modules"],
+        "conv_in": unet_base["conv_in"],
+        "skip_convs": vae_base["decoder"]["skip_convs"],
+    }
+    frozen = {"unet": unet_base, "vae": vae_base}
+    meta = LoraMeta(unet_lora["rank"], unet_lora["alpha"],
+                    vae_lora["rank"], vae_lora["alpha"])
+    return gen, frozen, meta
+
+
+def build_gen_params(gen, frozen, meta: LoraMeta) -> Dict:
+    """Reassemble dense generator params from trainable + frozen pieces.
+    Runs inside jit; XLA fuses the LoRA merges into the weight loads."""
+    unet_base = dict(frozen["unet"])
+    unet_base["conv_in"] = gen["conv_in"]
+    vae_base = dict(frozen["vae"])
+    vae_base["decoder"] = dict(vae_base["decoder"])
+    vae_base["decoder"]["skip_convs"] = gen["skip_convs"]
+    unet_p = lora_mod.merge_lora(
+        unet_base, {"rank": meta.rank_unet, "alpha": meta.alpha_unet,
+                    "modules": gen["unet_lora"]}, model="unet")
+    vae_p = lora_mod.merge_lora(
+        vae_base, {"rank": meta.rank_vae, "alpha": meta.alpha_vae,
+                   "modules": gen["vae_lora"]}, model="vae")
+    return {"unet": unet_p, "vae": vae_p}
+
+
+def make_paired_train_step(cfgs: GeneratorConfigs,
+                           clip_cfg: clip_vit.CLIPViTConfig,
+                           loss_cfg: losses_mod.PairedLossConfig,
+                           meta: LoraMeta, gen_tx, disc_tx,
+                           remat: bool = True):
+    alphas = scheduler.make_alphas_cumprod()
+    smooth = loss_cfg.gan_loss_type.endswith("_s")
+
+    def gen_forward(gen, frozen, c_t, caption_enc, rng):
+        params = build_gen_params(gen, frozen, meta)
+        return generate_deterministic(params, cfgs, alphas, c_t, caption_enc,
+                                      rng, remat=remat)
+
+    def train_step(state, frozen, aux_frozen, batch, rng):
+        """state: {gen, gen_opt, disc, disc_opt, step};
+        frozen: {unet, vae}; aux_frozen: {text, lpips, clip, disc_backbone};
+        batch: conditioning [0,1], output [-1,1], input_ids (B,77)."""
+        c_t = batch["conditioning_pixel_values"]
+        x_tgt = batch["output_pixel_values"]
+        ids = batch["input_ids"]
+        caption_enc = clip_text.clip_text_forward(
+            aux_frozen["text"], cfgs.text, ids).astype(c_t.dtype)
+        r1, r2 = jax.random.split(rng)
+        metrics = {}
+
+        # ---- pass 1: reconstruction ------------------------------------
+        def recon_loss(gen):
+            pred = gen_forward(gen, frozen, c_t, caption_enc, r1)
+            l2 = loss_cfg.lambda_l2 * losses_mod.l2_loss(pred, x_tgt)
+            lp = loss_cfg.lambda_lpips * losses_mod.lpips_loss(
+                aux_frozen["lpips"], pred, x_tgt)
+            total = l2 + lp
+            parts = {"loss_l2": l2, "loss_lpips": lp}
+            if loss_cfg.lambda_clipsim > 0 and "clip" in aux_frozen:
+                cs = loss_cfg.lambda_clipsim * losses_mod.clipsim_loss(
+                    aux_frozen["clip"], clip_cfg, pred, ids)
+                total = total + cs
+                parts["loss_clipsim"] = cs
+            return total, parts
+
+        (loss1, parts), grads = jax.value_and_grad(
+            recon_loss, has_aux=True)(state["gen"])
+        updates, gen_opt = gen_tx.update(grads, state["gen_opt"],
+                                         state["gen"])
+        gen = optax.apply_updates(state["gen"], updates)
+        metrics.update(parts)
+
+        # ---- pass 2: generator GAN (fresh forward, updated gen) --------
+        def gan_g_loss(gen):
+            pred = gen_forward(gen, frozen, c_t, caption_enc, r2)
+            disc_params = {"backbone": aux_frozen["disc_backbone"],
+                           "heads": state["disc"]}
+            g = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
+                disc_params, clip_cfg, pred, smooth)
+            return g, pred
+
+        (loss_g, pred2), grads = jax.value_and_grad(
+            gan_g_loss, has_aux=True)(gen)
+        updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
+        gen = optax.apply_updates(gen, updates)
+        metrics["loss_gan_g"] = loss_g
+
+        # ---- pass 3: discriminator real ---------------------------------
+        def d_real(heads):
+            disc_params = {"backbone": aux_frozen["disc_backbone"],
+                           "heads": heads}
+            return loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
+                disc_params, clip_cfg, x_tgt, smooth)
+
+        loss_dr, grads = jax.value_and_grad(d_real)(state["disc"])
+        updates, disc_opt = disc_tx.update(grads, state["disc_opt"],
+                                           state["disc"])
+        disc = optax.apply_updates(state["disc"], updates)
+        metrics["loss_d_real"] = loss_dr
+
+        # ---- pass 4: discriminator fake ---------------------------------
+        def d_fake(heads):
+            disc_params = {"backbone": aux_frozen["disc_backbone"],
+                           "heads": heads}
+            return loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
+                disc_params, clip_cfg, pred2, smooth)
+
+        loss_df, grads = jax.value_and_grad(d_fake)(disc)
+        updates, disc_opt = disc_tx.update(grads, disc_opt, disc)
+        disc = optax.apply_updates(disc, updates)
+        metrics["loss_d_fake"] = loss_df
+
+        new_state = {"gen": gen, "gen_opt": gen_opt, "disc": disc,
+                     "disc_opt": disc_opt, "step": state["step"] + 1}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfgs: GeneratorConfigs, clip_cfg, meta: LoraMeta):
+    """Validation metrics: L2, LPIPS, CLIP-sim (reference
+    train_pix2pix_turbo.py:259-301)."""
+    alphas = scheduler.make_alphas_cumprod()
+
+    @jax.jit
+    def eval_step(gen, frozen, aux_frozen, batch, rng):
+        params = build_gen_params(gen, frozen, meta)
+        c_t = batch["conditioning_pixel_values"]
+        x_tgt = batch["output_pixel_values"]
+        ids = batch["input_ids"]
+        caption_enc = clip_text.clip_text_forward(
+            aux_frozen["text"], cfgs.text, ids).astype(c_t.dtype)
+        pred = generate_deterministic(params, cfgs, alphas, c_t, caption_enc,
+                                      rng)
+        out = {
+            "val_l2": losses_mod.l2_loss(pred, x_tgt),
+            "val_lpips": losses_mod.lpips_loss(aux_frozen["lpips"], pred,
+                                               x_tgt),
+        }
+        if "clip" in aux_frozen:
+            out["val_clipsim"] = 1.0 - losses_mod.clipsim_loss(
+                aux_frozen["clip"], clip_cfg, pred, ids)
+        return pred, out
+
+    return eval_step

@@ -1,0 +1,193 @@
+"""Training-step tests: the 4-pass paired step updates the right params,
+losses are finite, and the step runs data-parallel over an 8-device mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from img2img_turbo_tpu import configs, lora as lora_mod
+from img2img_turbo_tpu.models import clip_text, clip_vit, discriminator
+from img2img_turbo_tpu.models import unet as unet_mod, vae as vae_mod
+from img2img_turbo_tpu.models import vgg_lpips
+from img2img_turbo_tpu.parallel import mesh as mesh_mod
+from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
+from img2img_turbo_tpu.training import losses as losses_mod
+from img2img_turbo_tpu.training import optim, paired
+
+
+RES = 64  # tiny images
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfgs = GeneratorConfigs(unet=configs.TINY_UNET, vae=configs.TINY_VAE,
+                            text=configs.TINY_TEXT)
+    clip_cfg = clip_vit.TINY_CLIP_VIT
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    unet_p = unet_mod.init_unet(ks[0], cfgs.unet)
+    vae_p = vae_mod.init_vae(ks[1], cfgs.vae, skip_init=1e-5)
+    unet_lora = lora_mod.init_lora(
+        ks[2], unet_p, lora_mod.LoRASpec(4, lora_mod.PIX2PIX_UNET_TARGETS),
+        "unet")
+    vae_lora = lora_mod.init_lora(
+        ks[3], vae_p, lora_mod.LoRASpec(4, lora_mod.PIX2PIX_VAE_TARGETS),
+        "vae")
+    gen, frozen, meta = paired.split_trainable(unet_p, vae_p, unet_lora,
+                                               vae_lora)
+    disc_full = discriminator.init_discriminator(ks[4], clip_cfg)
+    aux_frozen = {
+        "text": clip_text.init_clip_text(ks[5], cfgs.text),
+        "lpips": vgg_lpips.init_vgg_lpips(ks[6]),
+        "clip": clip_vit.init_clip(ks[7], clip_cfg),
+        "disc_backbone": disc_full["backbone"],
+    }
+    loss_cfg = losses_mod.PairedLossConfig()
+    sched = optim.make_lr_schedule("constant", 5e-4, 0, 100)
+    gen_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+    disc_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+    state = {
+        "gen": gen, "gen_opt": gen_tx.init(gen),
+        "disc": disc_full["heads"], "disc_opt": disc_tx.init(
+            disc_full["heads"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    step = paired.make_paired_train_step(cfgs, clip_cfg, loss_cfg, meta,
+                                         gen_tx, disc_tx, remat=True)
+    return dict(cfgs=cfgs, clip_cfg=clip_cfg, state=state, frozen=frozen,
+                aux_frozen=aux_frozen, step=jax.jit(step), meta=meta)
+
+
+def make_batch(b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "conditioning_pixel_values": jnp.asarray(
+            rng.rand(b, RES, RES, 3).astype(np.float32)),
+        "output_pixel_values": jnp.asarray(
+            (rng.rand(b, RES, RES, 3) * 2 - 1).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            rng.randint(0, 999, (b, 77)).astype(np.int32)),
+    }
+
+
+class TestPairedStep:
+    def test_losses_finite_and_params_update(self, setup):
+        s = setup
+        state1, metrics = s["step"](s["state"], s["frozen"], s["aux_frozen"],
+                                    make_batch(), jax.random.PRNGKey(0))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert set(metrics) == {"loss_l2", "loss_lpips", "loss_clipsim",
+                                "loss_gan_g", "loss_d_real", "loss_d_fake"}
+        # trainable gen params changed
+        before = s["state"]["gen"]["conv_in"]["kernel"]
+        after = state1["gen"]["conv_in"]["kernel"]
+        assert np.abs(np.asarray(after - before)).max() > 0
+        # lora B factors received gradient (were zero, must move)
+        name = next(iter(state1["gen"]["unet_lora"]))
+        b_after = state1["gen"]["unet_lora"][name]["b"]
+        assert np.abs(np.asarray(b_after)).max() > 0
+        # disc heads changed
+        d_before = s["state"]["disc"][0]["conv2"]["kernel"]
+        d_after = state1["disc"][0]["conv2"]["kernel"]
+        assert np.abs(np.asarray(d_after - d_before)).max() > 0
+        # frozen base untouched by construction (not in state)
+        assert int(state1["step"]) == 1
+
+    def test_second_step_runs(self, setup):
+        s = setup
+        state1, _ = s["step"](s["state"], s["frozen"], s["aux_frozen"],
+                              make_batch(seed=1), jax.random.PRNGKey(1))
+        state2, metrics = s["step"](state1, s["frozen"], s["aux_frozen"],
+                                    make_batch(seed=2), jax.random.PRNGKey(2))
+        assert int(state2["step"]) == 2
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+class TestDataParallel:
+    def test_step_over_8_device_mesh(self, setup):
+        s = setup
+        mesh = mesh_mod.make_mesh()  # 8 CPU devices on the data axis
+        assert mesh.shape["data"] == 8
+        batch = make_batch(b=8, seed=3)
+        sharded = mesh_mod.shard_batch(batch, mesh)
+        state = mesh_mod.replicate(s["state"], mesh)
+        frozen = mesh_mod.replicate(s["frozen"], mesh)
+        aux = mesh_mod.replicate(s["aux_frozen"], mesh)
+        state1, metrics = s["step"](state, frozen, aux, sharded,
+                                    jax.random.PRNGKey(0))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        # dp batch sharding preserved on inputs; params stay replicated
+        kern = state1["gen"]["conv_in"]["kernel"]
+        assert kern.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device(self, setup):
+        """DP over 8 devices must give the same update as one device (same
+        global batch) — the psum/mean is exact, not approximate."""
+        s = setup
+        batch = make_batch(b=8, seed=4)
+        _, m_single = s["step"](s["state"], s["frozen"], s["aux_frozen"],
+                                batch, jax.random.PRNGKey(5))
+        mesh = mesh_mod.make_mesh()
+        sharded = mesh_mod.shard_batch(batch, mesh)
+        state = mesh_mod.replicate(s["state"], mesh)
+        frozen = mesh_mod.replicate(s["frozen"], mesh)
+        aux = mesh_mod.replicate(s["aux_frozen"], mesh)
+        _, m_dp = s["step"](state, frozen, aux, sharded,
+                            jax.random.PRNGKey(5))
+        for k in m_single:
+            np.testing.assert_allclose(float(m_single[k]), float(m_dp[k]),
+                                       rtol=2e-4, atol=1e-5)
+
+
+class TestLossComponents:
+    def test_lpips_zero_for_identical_inputs(self):
+        p = vgg_lpips.init_vgg_lpips(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                        .astype(np.float32) * 2 - 1)
+        d = vgg_lpips.lpips(p, x, x)
+        assert float(jnp.abs(d).max()) < 1e-6
+
+    def test_lpips_positive_and_monotone_ish(self):
+        p = vgg_lpips.init_vgg_lpips(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+        d_small = float(vgg_lpips.lpips(p, x, x + 0.01).mean())
+        d_big = float(vgg_lpips.lpips(p, x, -x).mean())
+        assert 0 < d_small < d_big
+
+    def test_clip_similarity_range(self):
+        cfg = clip_vit.TINY_CLIP_VIT
+        p = clip_vit.init_clip(jax.random.PRNGKey(0), cfg)
+        img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+        ids = jnp.asarray(np.random.RandomState(0)
+                          .randint(0, 999, (2, 77)), jnp.int32)
+        sim = clip_vit.clip_similarity(p, cfg, img, ids)
+        assert sim.shape == (2,)
+        assert (np.abs(np.asarray(sim)) <= 100.0 + 1e-3).all()
+
+    def test_disc_losses_signs(self):
+        cfg = clip_vit.TINY_CLIP_VIT
+        d = discriminator.init_discriminator(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        for kwargs in ({"for_G": True}, {"for_real": True},
+                       {"for_real": False}):
+            val = discriminator.disc_loss(d, cfg, x, **kwargs)
+            assert np.isfinite(float(val)) and float(val) > 0
+
+    def test_disc_backbone_gets_no_grads(self):
+        cfg = clip_vit.TINY_CLIP_VIT
+        d = discriminator.init_discriminator(jax.random.PRNGKey(0), cfg)
+        x = jnp.ones((1, 64, 64, 3)) * 0.1
+
+        def loss(params):
+            return discriminator.disc_loss(params, cfg, x, for_real=True)
+
+        g = jax.grad(loss)(d)
+        backbone_norm = sum(float(jnp.abs(x).sum())
+                            for x in jax.tree_util.tree_leaves(g["backbone"]))
+        heads_norm = sum(float(jnp.abs(x).sum())
+                         for x in jax.tree_util.tree_leaves(g["heads"]))
+        assert backbone_norm == 0.0
+        assert heads_norm > 0.0
