@@ -1,0 +1,162 @@
+"""Unpaired (CycleGAN-Turbo) training CLI — behavior parity with
+`accelerate launch src/train_cyclegan_turbo.py`
+(train_cyclegan_turbo.py:25-390) plus real RESUME.
+
+Fixed caption embeddings are computed once on host and fed to every step
+(the reference then deletes its text encoder, :140-144 — here it simply
+never enters the compiled step)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(args):
+    from img2img_turbo_tpu import lora as lora_mod
+    from img2img_turbo_tpu.models import clip_text
+    from img2img_turbo_tpu.parallel import mesh as mesh_mod
+    from img2img_turbo_tpu.pipelines.cyclegan import cyclegan_unet_adapters
+    from img2img_turbo_tpu.training import (checkpoint as ckpt_mod, data,
+                                            losses as losses_mod, optim,
+                                            runner, unpaired)
+
+    np.random.seed(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    cfgs = runner.generator_configs(args)
+    clip_cfg = runner.clip_config(args)
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    unet_p, vae_a2b, text_p, tok = runner.load_base_models(args, cfgs, k1)
+    if tok is None:
+        class _RandTok:
+            model_max_length = 77
+
+            def __call__(self, text):
+                ids = [(abs(hash(w)) % (cfgs.text.vocab_size - 3)) + 1
+                       for w in str(text).split()][:75]
+                return np.asarray([[1] + ids + [0] * (76 - len(ids))],
+                                  np.int32)
+        tok = _RandTok()
+    vae_b2a = jax.tree_util.tree_map(jnp.copy, vae_a2b)
+    unet_adapters = cyclegan_unet_adapters(unet_p, args.lora_rank_unet, k2)
+    vae_spec = lora_mod.LoRASpec(args.lora_rank_vae,
+                                 lora_mod.CYCLEGAN_VAE_TARGETS)
+    vae_a2b_lora = lora_mod.init_lora(k3, vae_a2b, vae_spec, "vae")
+    vae_b2a_lora = lora_mod.init_lora(k3, vae_b2a, vae_spec, "vae")
+    gen, frozen, meta = unpaired.split_trainable(
+        unet_p, vae_a2b, vae_b2a, unet_adapters, vae_a2b_lora, vae_b2a_lora)
+    aux_frozen, disc_heads_a = runner.init_aux_models(
+        args, k4, clip_cfg, with_clipsim=False)
+    # two discriminators (A judges domain-B images, B judges domain-A)
+    from img2img_turbo_tpu.models import discriminator as disc_mod
+    disc_heads_b = disc_mod.init_discriminator(
+        k5, clip_cfg, backbone=aux_frozen["disc_backbone"])["heads"]
+    disc = {"a": disc_heads_a, "b": disc_heads_b}
+
+    # dataset + fixed embeddings ------------------------------------------
+    dataset = data.UnpairedDataset(args.dataset_folder, "train",
+                                   args.train_img_prep, tok)
+    loader = data.data_loader(dataset, args.train_batch_size,
+                              seed=args.seed)
+    emb_a2b = clip_text.clip_text_forward(
+        text_p, cfgs.text, jnp.asarray(dataset.input_ids_tgt,
+                                       jnp.int32)[None])
+    emb_b2a = clip_text.clip_text_forward(
+        text_p, cfgs.text, jnp.asarray(dataset.input_ids_src,
+                                       jnp.int32)[None])
+
+    # optimizers + state ---------------------------------------------------
+    total = args.max_train_steps or (args.max_train_epochs * max(
+        1, len(dataset) // args.train_batch_size))
+    sched = optim.make_lr_schedule(args.lr_scheduler, args.learning_rate,
+                                   args.lr_warmup_steps, total,
+                                   args.lr_num_cycles, args.lr_power)
+    gen_tx = optim.make_adamw(sched, args.adam_beta1, args.adam_beta2,
+                              args.adam_epsilon, args.adam_weight_decay,
+                              args.max_grad_norm)
+    disc_tx = optim.make_adamw(sched, args.adam_beta1, args.adam_beta2,
+                               args.adam_epsilon, args.adam_weight_decay,
+                               args.max_grad_norm)
+    state = {"gen": gen, "gen_opt": gen_tx.init(gen), "disc": disc,
+             "disc_opt": disc_tx.init(disc),
+             "step": jnp.zeros((), jnp.int32)}
+
+    state_dir = os.path.join(args.output_dir, "state")
+    start_step = 0
+    if args.resume:
+        latest = ckpt_mod.latest_step(state_dir)
+        if latest is not None:
+            state = ckpt_mod.restore_train_state(state_dir, state)
+            start_step = int(latest)
+            print(f"resumed from step {start_step}")
+
+    mesh = mesh_mod.make_mesh(n_model=args.tensor_parallel)
+    loss_cfg = losses_mod.UnpairedLossConfig(
+        lambda_gan=args.lambda_gan, lambda_idt=args.lambda_idt,
+        lambda_cycle=args.lambda_cycle,
+        lambda_cycle_lpips=args.lambda_cycle_lpips,
+        lambda_idt_lpips=args.lambda_idt_lpips,
+        gan_loss_type=args.gan_loss_type)
+    step_fn = jax.jit(unpaired.make_unpaired_train_step(
+        cfgs, clip_cfg, loss_cfg, meta, gen_tx, disc_tx,
+        remat=args.gradient_checkpointing or not args.tiny_model),
+        donate_argnums=(0,))
+
+    state = mesh_mod.replicate(state, mesh)
+    frozen = mesh_mod.replicate(frozen, mesh)
+    aux_frozen = mesh_mod.replicate(aux_frozen, mesh)
+    log = runner.make_tracker(args.report_to, args.tracker_project_name,
+                              args.output_dir, vars(args))
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    adapter_targets = {k: v_spec_targets(v) for k, v in
+                       unet_adapters.items()}
+
+    import time
+    rng = jax.random.PRNGKey(args.seed + 1)
+    t_last = time.time()
+    for step_i, batch in zip(range(start_step, total), loader):
+        bsz = batch["pixel_values_src"].shape[0]
+        dev_batch = mesh_mod.shard_batch({
+            "pixel_values_src": batch["pixel_values_src"],
+            "pixel_values_tgt": batch["pixel_values_tgt"],
+            "emb_a2b": np.broadcast_to(
+                np.asarray(emb_a2b), (bsz,) + emb_a2b.shape[1:]),
+            "emb_b2a": np.broadcast_to(
+                np.asarray(emb_b2a), (bsz,) + emb_b2a.shape[1:]),
+        }, mesh)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, frozen, aux_frozen, dev_batch, sub)
+
+        if (step_i + 1) % 10 == 0 or step_i == start_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = 10.0 / max(time.time() - t_last, 1e-9)
+            t_last = time.time()
+            log(m, step_i + 1)
+            print(f"step {step_i + 1}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+        if (step_i + 1) % args.checkpointing_steps == 0:
+            ckpt_mod.save_train_state(state_dir, step_i + 1, state)
+            ckpt_mod.export_cyclegan_pkl(
+                os.path.join(ckpt_dir, f"model_{step_i + 1}.pkl"),
+                jax.device_get(state["gen"]), meta, adapter_targets,
+                lora_mod.CYCLEGAN_VAE_TARGETS, jax.device_get(frozen))
+
+    ckpt_mod.save_train_state(state_dir, total, state)
+    print("training done")
+
+
+def v_spec_targets(adapter) -> list:
+    return sorted(adapter["modules"].keys())
+
+
+if __name__ == "__main__":
+    from img2img_turbo_tpu.utils.config_args import (
+        parse_args_unpaired_training)
+    main(parse_args_unpaired_training())

@@ -1,0 +1,132 @@
+"""Checkpointing: orbax full-state save/RESUME + reference-pkl export.
+
+The reference only pickles adapter weights periodically and cannot resume
+(first_epoch/global_step hard-coded to 0, train_cyclegan_turbo.py:153-154;
+no optimizer/scheduler state saved — SURVEY.md §5). On TPU pods preemption
+is routine, so this module saves the FULL training state (generator
+trainables, both optimizer states, discriminator heads, step) via orbax and
+restores it exactly; the reference-schema pkls are still exported alongside
+for interchange with the PyTorch implementation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+
+
+def _mgr(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_train_state(directory: str, step: int, state: Dict,
+                     max_to_keep: int = 3) -> None:
+    import orbax.checkpoint as ocp
+    mgr = _mgr(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    import orbax.checkpoint as ocp
+    mgr = _mgr(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_train_state(directory: str, state_like: Dict,
+                        step: Optional[int] = None) -> Dict:
+    """Restore into the structure of `state_like` (an abstract or concrete
+    state pytree). Returns the restored state."""
+    import orbax.checkpoint as ocp
+    mgr = _mgr(directory)
+    step = step if step is not None else mgr.latest_step()
+    assert step is not None, f"no checkpoint found in {directory}"
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+    mgr.close()
+    return restored
+
+
+# ---------------------------------------------------------------------------
+# Reference-schema pkl export (CycleGAN; the pix2pix export lives on
+# Pix2PixTurbo.save_model)
+# ---------------------------------------------------------------------------
+
+
+def export_cyclegan_pkl(outf: str, gen: Dict, meta, adapter_targets: Dict,
+                        vae_targets, frozen: Dict) -> None:
+    """Write the reference CycleGAN pkl schema
+    (train_cyclegan_turbo.py:293-307): 3 unet adapter state dicts (peft
+    style, no adapter name in keys), VAE enc/dec full state dicts under
+    "vae."/"vae_b2a." prefixes."""
+    import torch
+
+    def lora_sd(modules):
+        out = {}
+        for name, entry in modules.items():
+            a, b = np.asarray(entry["a"]), np.asarray(entry["b"])
+            if a.ndim == 4:
+                ta = a.transpose(3, 2, 0, 1)
+                tb = b.T[:, :, None, None]
+            else:
+                ta, tb = a.T, b.T
+            out[f"{name}.lora_A.weight"] = torch.from_numpy(
+                np.ascontiguousarray(ta))
+            out[f"{name}.lora_B.weight"] = torch.from_numpy(
+                np.ascontiguousarray(tb))
+        return out
+
+    def vae_full_sd(prefix, lora_modules, skip_convs, base):
+        """Full VAE state dict incl. lora + base weights, torch layout."""
+        out = lora_sd(lora_modules)
+        out = {f"{prefix}{k}": v for k, v in out.items()}
+        from img2img_turbo_tpu.lora import iter_modules, vae_torch_name
+        base = dict(base)
+        base["decoder"] = dict(base["decoder"])
+        base["decoder"]["skip_convs"] = skip_convs
+        for path, mod in iter_modules(base):
+            name = vae_torch_name(path)
+            if name is None:
+                continue
+            k = np.asarray(mod["kernel"])
+            if k.ndim == 4:
+                kt = k.transpose(3, 2, 0, 1)
+            else:
+                kt = k.T
+            out[f"{prefix}{name}.weight"] = torch.from_numpy(
+                np.ascontiguousarray(kt))
+            if "bias" in mod:
+                out[f"{prefix}{name}.bias"] = torch.from_numpy(
+                    np.asarray(mod["bias"]).copy())
+        return out
+
+    sd_vae = {}
+    sd_vae.update(vae_full_sd("vae.", gen["vae_a2b_lora"],
+                              gen["vae_a2b_skip"], frozen["vae_a2b"]))
+    sd_vae.update(vae_full_sd("vae_b2a.", gen["vae_b2a_lora"],
+                              gen["vae_b2a_skip"], frozen["vae_b2a"]))
+
+    torch.save({
+        "l_target_modules_encoder": list(adapter_targets["default_encoder"]),
+        "l_target_modules_decoder": list(adapter_targets["default_decoder"]),
+        "l_modules_others": list(adapter_targets["default_others"]),
+        "rank_unet": meta.rank_unet,
+        "sd_encoder": lora_sd(gen["unet_lora"]["default_encoder"]),
+        "sd_decoder": lora_sd(gen["unet_lora"]["default_decoder"]),
+        "sd_other": lora_sd(gen["unet_lora"]["default_others"]),
+        "rank_vae": meta.rank_vae,
+        "vae_lora_target_modules": list(vae_targets),
+        "sd_vae_enc": sd_vae,
+        "sd_vae_dec": sd_vae,
+    }, outf)

@@ -48,7 +48,14 @@ def split_trainable(unet_base, vae_base, unet_lora, vae_lora
         "conv_in": unet_base["conv_in"],
         "skip_convs": vae_base["decoder"]["skip_convs"],
     }
-    frozen = {"unet": unet_base, "vae": vae_base}
+    # frozen must NOT alias trainable buffers: the train step donates the
+    # state, which would delete shared leaves out from under frozen
+    frozen_unet = dict(unet_base)
+    frozen_unet.pop("conv_in")
+    frozen_vae = dict(vae_base)
+    frozen_vae["decoder"] = dict(vae_base["decoder"])
+    frozen_vae["decoder"].pop("skip_convs")
+    frozen = {"unet": frozen_unet, "vae": frozen_vae}
     meta = LoraMeta(unet_lora["rank"], unet_lora["alpha"],
                     vae_lora["rank"], vae_lora["alpha"])
     return gen, frozen, meta
