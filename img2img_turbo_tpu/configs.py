@@ -124,3 +124,20 @@ TINY_TEXT = CLIPTextConfig(
     intermediate_size=64,
     max_position_embeddings=77,
 )
+
+# Micro configs: 2 levels, 1 layer per block — for training-step tests and
+# multichip dryruns where XLA-CPU compile time of the fused multi-pass GAN
+# step dominates. Same code paths, ~6x smaller graphs.
+MICRO_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    attention_head_dim=(2, 4),
+    cross_attention_dim=32,
+    transformer_levels=(True, False),
+    norm_num_groups=8,
+)
+MICRO_VAE = VAEConfig(
+    block_out_channels=(16, 32),
+    layers_per_block=1,
+    norm_num_groups=8,
+)

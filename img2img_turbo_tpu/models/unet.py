@@ -206,10 +206,8 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
     r: TwinConv blend factor (required iff conv_in is a twin pair).
     remat: apply jax.checkpoint to each down/mid/up block (training).
     """
-    if attn_fn is None:
-        from img2img_turbo_tpu.ops.attention import default_attention
-        attn_fn = default_attention
-
+    # attn_fn=None routes through ops.attention.multihead_attention
+    # (transpose-free folded flash kernel on TPU, XLA path elsewhere)
     temb = L.timestep_embedding(timesteps, cfg.block_out_channels[0],
                                 cfg.flip_sin_to_cos, cfg.freq_shift)
     temb = L.linear(params["time_mlp"]["lin2"],

@@ -75,11 +75,13 @@ def _mid_attn(p, x, cfg: VAEConfig):
     b, h, w, c = x.shape
     hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.norm_eps)
     hidden = hidden.reshape(b, h * w, c)
-    q = L.linear(p["to_q"], hidden)[:, None]  # (b, 1 head, s, c)
-    k = L.linear(p["to_k"], hidden)[:, None]
-    v = L.linear(p["to_v"], hidden)[:, None]
-    from img2img_turbo_tpu.ops.attention import scaled_dot_product_attention
-    o = scaled_dot_product_attention(q, k, v)[:, 0]
+    q = L.linear(p["to_q"], hidden)
+    k = L.linear(p["to_k"], hidden)
+    v = L.linear(p["to_v"], hidden)
+    # 64x64 latents give 4096 tokens here; the folded flash kernel avoids
+    # the 4096^2 score materialization (routes to XLA on CPU)
+    from img2img_turbo_tpu.ops.attention import multihead_attention
+    o = multihead_attention(q, k, v, num_heads=1)
     o = L.linear(p["to_out"], o).reshape(b, h, w, c)
     return x + o
 

@@ -127,6 +127,126 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
     return out.reshape(b, h, sq, d)
 
 
+# ---------------------------------------------------------------------------
+# Transpose-free multi-head flash attention: operates on (B, S, D) with the
+# head dim folded into lanes. Head slicing happens inside the kernel as
+# static column ranges, so no (0,2,1,3) transposes / relayouts ever hit HBM
+# (those transposes were ~30% of UNet device time via the XLA path).
+# ---------------------------------------------------------------------------
+
+
+def _flash_heads_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                        *, num_heads: int, head_dim: int, sm_scale: float,
+                        seq_kv: int, kv_pad: int):
+    """Grid (b, q_blocks, kv_blocks) with kv innermost; softmax state is
+    carried in VMEM scratch across kv steps (q/o blocks revisit, so only a
+    (block_k, D) slice of K/V is resident per step)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = q_ref[0, :, lo:lo + head_dim]
+        kb = k_ref[0, :, lo:lo + head_dim]
+        vb = v_ref[0, :, lo:lo + head_dim]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if kv_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ki * block_k < seq_kv, s, -jnp.inf)
+        m_prev = m_scr[h]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[h] = m_new
+        l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        for h in range(num_heads):
+            lo = h * head_dim
+            o_ref[0, :, lo:lo + head_dim] = (
+                acc_scr[h] / l_scr[h]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q",
+                                             "block_k"))
+def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
+                           block_k: int = 512):
+    """q: (B, Sq, D), k/v: (B, Skv, D) with D = num_heads*head_dim.
+    Returns (B, Sq, D). No transposes anywhere; VMEM bounded by
+    (block_q + 2*block_k) * D."""
+    b, sq, d = q.shape
+    skv = k.shape[1]
+    hd = d // num_heads
+    block_q = min(block_q, sq)
+    while sq % block_q != 0 and block_q > 8:
+        block_q //= 2
+    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
+    kv_pad = (-skv) % block_k
+    if kv_pad:
+        pad = [(0, 0), (0, kv_pad), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    kernel = functools.partial(
+        _flash_heads_kernel, num_heads=num_heads, head_dim=hd,
+        sm_scale=1.0 / math.sqrt(hd), seq_kv=skv, kv_pad=kv_pad)
+    nk = (skv + kv_pad) // block_k
+    return pl.pallas_call(
+        kernel,
+        grid=(b, sq // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, ki: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
+            pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
+            pltpu.VMEM((num_heads, block_q, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * (skv + kv_pad) * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * num_heads * sq * (skv + kv_pad),
+        ),
+    )(q, k, v)
+
+
+def multihead_attention(q, k, v, num_heads: int):
+    """Layout-aware dispatch on projected (B, S, D) tensors.
+
+    TPU + long queries: transpose-free folded flash kernel. Otherwise:
+    reshape/transpose to (B, H, S, hd) and use the XLA reference path."""
+    b, sq, d = q.shape
+    skv = k.shape[1]
+    if jax.default_backend() == "tpu" and sq >= 256 and d % num_heads == 0:
+        return flash_attention_folded(q, k, v, num_heads)
+    hd = d // num_heads
+    qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
+    o = scaled_dot_product_attention(qh, kh, vh)
+    return o.transpose(0, 2, 1, 3).reshape(b, sq, d)
+
+
 def default_attention(q, k, v):
     """Dispatch: Pallas flash attention on TPU, XLA elsewhere (CPU tests).
 

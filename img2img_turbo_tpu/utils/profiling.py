@@ -51,6 +51,56 @@ class StepTimer:
         }
 
 
+def device_time_per_call(fn, args, iters: int = 10,
+                         trace_dir: Optional[str] = None) -> Dict[str, float]:
+    """True on-device execution time per call, measured from a profiler
+    trace (the span of the device track divided by iters).
+
+    Needed because wall-clock on relay-attached test rigs includes a large
+    fixed host<->device tunnel latency (~tens of ms on this box's axon
+    loopback) that does not exist on production TPU hosts.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    trace_dir = trace_dir or tempfile.mkdtemp(prefix="jax_devtime_")
+    out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    try:
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    except Exception:
+        pass
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return {}
+    with gzip.open(sorted(files)[-1], "rt") as fh:
+        data = json.load(fh)
+    device_pids = {
+        e["pid"] for e in data["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and ("TPU" in e["args"].get("name", "")
+             or "/device" in e["args"].get("name", ""))}
+    evs = [e for e in data["traceEvents"]
+           if e.get("ph") == "X" and e.get("pid") in device_pids]
+    if not evs:
+        return {}
+    span = (max(e["ts"] + e["dur"] for e in evs)
+            - min(e["ts"] for e in evs)) / 1e6
+    busy = sum(e["dur"] for e in evs) / 1e6
+    return {"device_span_per_call_s": span / iters,
+            "device_busy_total_s": busy,
+            "iters": iters}
+
+
 def device_memory_stats() -> Dict[str, float]:
     """Per-device HBM usage in GiB (empty on backends without the API)."""
     out = {}

@@ -94,3 +94,27 @@ class TestFlashAttention:
                 jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                 block_q=128, block_k=128))
         np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("sq,skv,heads", [(256, 256, 4), (256, 77, 2),
+                                              (512, 512, 1)])
+    def test_folded_kernel_matches_xla(self, sq, skv, heads):
+        """Transpose-free folded kernel vs the reference path."""
+        from img2img_turbo_tpu.ops.attention import flash_attention_folded
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.RandomState(1)
+        d = heads * 64
+        q = rng.randn(2, sq, d).astype(np.float32)
+        k = rng.randn(2, skv, d).astype(np.float32)
+        v = rng.randn(2, skv, d).astype(np.float32)
+        qh = q.reshape(2, sq, heads, 64).transpose(0, 2, 1, 3)
+        kh = k.reshape(2, skv, heads, 64).transpose(0, 2, 1, 3)
+        vh = v.reshape(2, skv, heads, 64).transpose(0, 2, 1, 3)
+        expected = np.asarray(scaled_dot_product_attention(
+            jnp.asarray(qh), jnp.asarray(kh), jnp.asarray(vh)))
+        expected = expected.transpose(0, 2, 1, 3).reshape(2, sq, d)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_folded(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads,
+                block_q=128, block_k=128))
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)

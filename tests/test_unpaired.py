@@ -14,12 +14,12 @@ from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
 from img2img_turbo_tpu.training import losses as losses_mod
 from img2img_turbo_tpu.training import optim, unpaired
 
-RES = 64  # latent 8x8: minimum for 3 downsamples in the 4-level UNet
+RES = 32  # micro 2-level UNet/VAE: one downsample each
 
 
 @pytest.fixture(scope="module")
 def setup():
-    cfgs = GeneratorConfigs(unet=configs.TINY_UNET, vae=configs.TINY_VAE,
+    cfgs = GeneratorConfigs(unet=configs.MICRO_UNET, vae=configs.MICRO_VAE,
                             text=configs.TINY_TEXT)
     clip_cfg = clip_vit.TINY_CLIP_VIT
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
