@@ -63,6 +63,8 @@ def main(args):
                                    args.train_img_prep, tok)
     loader = data.data_loader(dataset, args.train_batch_size,
                               seed=args.seed)
+    loader = data.accumulate_batches(loader,
+                                     args.gradient_accumulation_steps)
     emb_a2b = clip_text.clip_text_forward(
         text_p, cfgs.text, jnp.asarray(dataset.input_ids_tgt,
                                        jnp.int32)[None])
@@ -117,6 +119,66 @@ def main(args):
     adapter_targets = {k: v_spec_targets(v) for k, v in
                        unet_adapters.items()}
 
+    # validation setup: cached reference FID stats + DINO
+    # (reference train_cyclegan_turbo.py:89-125)
+    import glob as globmod
+    from img2img_turbo_tpu.metrics import inception as inc_mod
+    from img2img_turbo_tpu.metrics.dino_struct import DinoStructureLoss
+    from img2img_turbo_tpu.models import dino as dino_mod
+    from img2img_turbo_tpu.pipelines.cyclegan import forward_with_params
+    from img2img_turbo_tpu.training import eval_unpaired
+    from img2img_turbo_tpu import scheduler as sched_mod
+
+    test_a = sorted(sum((globmod.glob(os.path.join(
+        args.dataset_folder, "test_A", e))
+        for e in ("*.jpg", "*.jpeg", "*.png", "*.bmp")), []))
+    test_b = sorted(sum((globmod.glob(os.path.join(
+        args.dataset_folder, "test_B", e))
+        for e in ("*.jpg", "*.jpeg", "*.png", "*.bmp")), []))
+    eval_ctx = None
+    if test_a and test_b:
+        val_T = data.build_transform(args.val_img_prep)
+        inc_p = inc_mod.init_inception(jax.random.PRNGKey(7))
+        dino = DinoStructureLoss(
+            cfg=dino_mod.TINY_DINO if args.tiny_model else
+            dino_mod.DINO_VITB8)
+        ref_a2b = eval_unpaired.cache_reference_fid_stats(
+            inc_p, test_b, val_T, args.output_dir, "a2b")
+        ref_b2a = eval_unpaired.cache_reference_fid_stats(
+            inc_p, test_a, val_T, args.output_dir, "b2a")
+        alphas = sched_mod.make_alphas_cumprod()
+        eval_ctx = dict(val_T=val_T, inc_p=inc_p, dino=dino,
+                        ref_a2b=ref_a2b, ref_b2a=ref_b2a, alphas=alphas,
+                        fwd=forward_with_params)
+
+    def run_validation(step_now):
+        if eval_ctx is None:
+            return
+        params = unpaired.build_gen_params(
+            jax.device_get(state["gen"]), jax.device_get(frozen), meta)
+
+        def make_fwd(direction, emb):
+            def f(x):
+                e = jnp.broadcast_to(emb, (x.shape[0],) + emb.shape[1:])
+                return eval_ctx["fwd"](params, cfgs, eval_ctx["alphas"], x,
+                                       e, jax.random.PRNGKey(0), direction)
+            return f
+
+        m = {}
+        m.update(eval_unpaired.evaluate_direction(
+            make_fwd("a2b", emb_a2b), test_a, eval_ctx["val_T"],
+            eval_ctx["inc_p"], eval_ctx["ref_a2b"], eval_ctx["dino"],
+            args.output_dir, "a2b", step_now,
+            max_images=args.validation_num_images))
+        m.update(eval_unpaired.evaluate_direction(
+            make_fwd("b2a", emb_b2a), test_b, eval_ctx["val_T"],
+            eval_ctx["inc_p"], eval_ctx["ref_b2a"], eval_ctx["dino"],
+            args.output_dir, "b2a", step_now,
+            max_images=args.validation_num_images))
+        log(m, step_now)
+        print(f"validation @ {step_now}: " +
+              " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+
     import time
     rng = jax.random.PRNGKey(args.seed + 1)
     t_last = time.time()
@@ -141,6 +203,13 @@ def main(args):
             print(f"step {step_i + 1}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
+        if (step_i + 1) % args.validation_steps == 0:
+            run_validation(step_i + 1)
+
+        if (step_i + 1) % args.viz_freq == 0:
+            _save_viz(args.output_dir, step_i + 1, batch, state, frozen,
+                      meta, cfgs, emb_a2b, emb_b2a)
+
         if (step_i + 1) % args.checkpointing_steps == 0:
             ckpt_mod.save_train_state(state_dir, step_i + 1, state)
             ckpt_mod.export_cyclegan_pkl(
@@ -154,6 +223,36 @@ def main(args):
 
 def v_spec_targets(adapter) -> list:
     return sorted(adapter["modules"].keys())
+
+
+def _save_viz(out_dir, step, batch, state, frozen, meta, cfgs, emb_a2b,
+              emb_b2a):
+    """Training-viz panels: src | fake | rec for both directions (reference
+    logs the same via wandb, train_cyclegan_turbo.py:276-289)."""
+    from PIL import Image
+    from img2img_turbo_tpu import scheduler as sched_mod
+    from img2img_turbo_tpu.pipelines.cyclegan import forward_with_params
+    from img2img_turbo_tpu.training import unpaired as unp
+
+    params = unp.build_gen_params(jax.device_get(state["gen"]),
+                                  jax.device_get(frozen), meta)
+    alphas = sched_mod.make_alphas_cumprod()
+    a = jnp.asarray(batch["pixel_values_src"][:1])
+    b = jnp.asarray(batch["pixel_values_tgt"][:1])
+    ea = jnp.asarray(np.asarray(emb_a2b)[:1])
+    eb = jnp.asarray(np.asarray(emb_b2a)[:1])
+    rng = jax.random.PRNGKey(0)
+    fake_b = forward_with_params(params, cfgs, alphas, a, ea, rng, "a2b")
+    rec_a = forward_with_params(params, cfgs, alphas, fake_b, eb, rng, "b2a")
+    fake_a = forward_with_params(params, cfgs, alphas, b, eb, rng, "b2a")
+    rec_b = forward_with_params(params, cfgs, alphas, fake_a, ea, rng, "a2b")
+    row_a = np.concatenate([np.asarray(x)[0] for x in (a, fake_b, rec_a)], 1)
+    row_b = np.concatenate([np.asarray(x)[0] for x in (b, fake_a, rec_b)], 1)
+    grid = np.concatenate([row_a, row_b], 0)
+    u8 = np.clip((grid * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+    viz_dir = os.path.join(out_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    Image.fromarray(u8).save(os.path.join(viz_dir, f"step_{step}.png"))
 
 
 if __name__ == "__main__":

@@ -91,6 +91,8 @@ def main(args):
                                  args.train_image_prep, tok)
     loader = data.data_loader(dataset, args.train_batch_size,
                               seed=args.seed or 0)
+    loader = data.accumulate_batches(loader,
+                                     args.gradient_accumulation_steps)
     try:
         val_dataset = data.PairedDataset(args.dataset_folder, "test",
                                          args.test_image_prep, tok)
@@ -117,6 +119,22 @@ def main(args):
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    # optional clean-FID tracking against test_B (reference
+    # train_pix2pix_turbo.py:152-163, 291-296)
+    fid_ctx = None
+    if args.track_val_fid and val_dataset is not None:
+        from PIL import Image
+        from img2img_turbo_tpu.metrics import fid as fid_mod
+        from img2img_turbo_tpu.metrics import inception as inc_mod
+        inc_p = inc_mod.init_inception(jax.random.PRNGKey(7))
+        refs = []
+        for name in val_dataset.img_names:
+            img = Image.open(os.path.join(val_dataset.output_folder, name))
+            refs.append(np.asarray(val_dataset.T(img).convert("RGB"),
+                                   np.uint8))
+        ref_feats = fid_mod.features_from_images(inc_p, refs)
+        fid_ctx = {"inc": inc_p, "ref_feats": ref_feats, "fid": fid_mod}
+
     import time
     rng = jax.random.PRNGKey((args.seed or 0) + 1)
     t_last = time.time()
@@ -141,9 +159,13 @@ def main(args):
             ckpt_mod.save_train_state(state_dir, step_i + 1, state)
             _export_pkl(ckpt_dir, step_i + 1, state, frozen, args, meta)
 
+        if (step_i + 1) % args.viz_freq == 0:
+            _save_viz(args.output_dir, step_i + 1, dev_batch, state, frozen,
+                      aux_frozen, eval_fn)
+
         if val_dataset is not None and (step_i + 1) % args.eval_freq == 0:
             _run_eval(eval_fn, state, frozen, aux_frozen, val_dataset, tok,
-                      args, log, step_i + 1)
+                      args, log, step_i + 1, fid_ctx)
 
     ckpt_mod.save_train_state(state_dir, args.max_train_steps, state)
     _export_pkl(ckpt_dir, args.max_train_steps, state, frozen, args, meta)
@@ -171,18 +193,19 @@ def _export_pkl(ckpt_dir, step, state, frozen, args, meta):
 
 
 def _run_eval(eval_fn, state, frozen, aux_frozen, val_dataset, tok, args,
-              log, step):
+              log, step, fid_ctx=None):
     from img2img_turbo_tpu.training import data
     n = min(args.num_samples_eval, len(val_dataset))
     loader = data.data_loader(val_dataset, 1, shuffle=False, epochs=1,
                               drop_last=False)
     agg = {}
+    preds = []
     rng = jax.random.PRNGKey(42)
     for i, batch in enumerate(loader):
         if i >= n:
             break
         rng, sub = jax.random.split(rng)
-        _, m = eval_fn(state["gen"], frozen, aux_frozen, {
+        pred, m = eval_fn(state["gen"], frozen, aux_frozen, {
             "conditioning_pixel_values": jnp.asarray(
                 batch["conditioning_pixel_values"]),
             "output_pixel_values": jnp.asarray(
@@ -191,10 +214,36 @@ def _run_eval(eval_fn, state, frozen, aux_frozen, val_dataset, tok, args,
         }, sub)
         for k, v in m.items():
             agg.setdefault(k, []).append(float(v))
+        if fid_ctx is not None:
+            u8 = np.clip((np.asarray(pred)[0] * 0.5 + 0.5) * 255, 0,
+                         255).astype(np.uint8)
+            preds.append(u8)
     means = {k: float(np.mean(v)) for k, v in agg.items()}
+    if fid_ctx is not None and preds:
+        feats = fid_ctx["fid"].features_from_images(fid_ctx["inc"], preds)
+        means["val_fid"] = fid_ctx["fid"].fid_from_feats(
+            feats, fid_ctx["ref_feats"])
     log(means, step)
     print(f"eval @ {step}: " +
           " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+
+
+def _save_viz(out_dir, step, dev_batch, state, frozen, aux_frozen,
+              eval_fn):
+    """input | prediction | target panel (reference wandb image logging,
+    train_pix2pix_turbo.py:244-251)."""
+    from PIL import Image
+    batch1 = {k: jnp.asarray(np.asarray(v)[:1]) for k, v in
+              dev_batch.items()}
+    pred, _ = eval_fn(state["gen"], frozen, aux_frozen, batch1,
+                      jax.random.PRNGKey(0))
+    cond = np.asarray(batch1["conditioning_pixel_values"])[0]
+    tgt = np.asarray(batch1["output_pixel_values"])[0]
+    row = np.concatenate([cond * 2 - 1, np.asarray(pred)[0], tgt], axis=1)
+    u8 = np.clip((row * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+    viz_dir = os.path.join(out_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    Image.fromarray(u8).save(os.path.join(viz_dir, f"step_{step}.png"))
 
 
 if __name__ == "__main__":

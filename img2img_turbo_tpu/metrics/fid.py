@@ -33,17 +33,20 @@ def clean_resize_299(img_u8: np.ndarray) -> np.ndarray:
 def features_from_images(params, images_u8: Iterable[np.ndarray],
                          batch_size: int = 8) -> np.ndarray:
     """images_u8: iterable of (H, W, 3) uint8. Returns (N, 2048) float64."""
-    fn = jax.jit(lambda p, x: inc.inception_features(p, x))
+    fn = inc.make_feature_fn(params)
     feats = []
     batch = []
     for img in images_u8:
         batch.append(clean_resize_299(img))
         if len(batch) == batch_size:
-            feats.append(np.asarray(fn(params, jnp.asarray(
-                np.stack(batch)))))
+            feats.append(np.asarray(fn(jnp.asarray(np.stack(batch)))))
             batch = []
     if batch:
-        feats.append(np.asarray(fn(params, jnp.asarray(np.stack(batch)))))
+        # pad the tail to the full batch to avoid a second compile
+        n = len(batch)
+        while len(batch) < batch_size:
+            batch.append(batch[-1])
+        feats.append(np.asarray(fn(jnp.asarray(np.stack(batch))))[:n])
     return np.concatenate(feats).astype(np.float64)
 
 

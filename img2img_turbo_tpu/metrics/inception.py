@@ -199,6 +199,41 @@ def _run_e(p, x):
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+def split_static(params):
+    """Split the param tree into (arrays-only pytree, static config tree).
+
+    The stride/pad ints must not cross a jit boundary as pytree leaves
+    (they'd become tracers and conv padding requires Python ints)."""
+    if isinstance(params, dict):
+        if "kernel" in params:
+            arrays = {k: params[k] for k in ("kernel", "scale", "bias")}
+            static = {"stride": params["stride"], "pad": params["pad"]}
+            return arrays, static
+        arrs, stats = {}, {}
+        for k, v in params.items():
+            arrs[k], stats[k] = split_static(v)
+        return arrs, stats
+    raise TypeError(type(params))
+
+
+def merge_static(arrays, static):
+    if "kernel" in arrays:
+        return {**arrays, **static}
+    return {k: merge_static(arrays[k], static[k]) for k in arrays}
+
+
+def make_feature_fn(params):
+    """jit-safe feature extractor: arrays as traced args, config static."""
+    import functools
+    arrays, static = split_static(params)
+
+    @jax.jit
+    def fn(arrs, images_unit):
+        return inception_features(merge_static(arrs, static), images_unit)
+
+    return functools.partial(fn, arrays)
+
+
 def inception_features(params, images_unit) -> jax.Array:
     """images_unit: (B, 299, 299, 3) floats in [0, 1] (clean-fid feeds
     uint8/255 then scales internally to [-1, 1]). Returns (B, 2048)."""

@@ -162,6 +162,28 @@ class UnpairedDataset:
 # ---------------------------------------------------------------------------
 
 
+def accumulate_batches(loader: Iterator[Dict], k: int) -> Iterator[Dict]:
+    """Gradient accumulation as batch concatenation.
+
+    All losses here are batch means and every optimizer step consumes the
+    whole accumulated batch, so concatenating k micro-batches before one
+    fused train step is numerically identical to the reference's
+    `accelerator.accumulate` loop (k backward passes then one step) —
+    SURVEY.md §2c. Memory scales with k; remat keeps activations bounded.
+    """
+    if k <= 1:
+        yield from loader
+        return
+    while True:
+        batches = [next(loader) for _ in range(k)]
+        out = {}
+        for key, v0 in batches[0].items():
+            vals = [b[key] for b in batches]
+            out[key] = (sum(vals, []) if isinstance(v0, list)
+                        else np.concatenate(vals))
+        yield out
+
+
 def data_loader(dataset, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = True,
                 epochs: Optional[int] = None) -> Iterator[Dict]:

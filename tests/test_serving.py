@@ -1,0 +1,96 @@
+"""Serving engine + demo logic tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from img2img_turbo_tpu import configs
+from img2img_turbo_tpu.models import unet as unet_mod, vae as vae_mod
+from img2img_turbo_tpu.pipelines import pix2pix as p2p
+from img2img_turbo_tpu.serving import demo as demo_mod
+from img2img_turbo_tpu.serving.engine import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    cfgs = p2p.GeneratorConfigs(unet=configs.TINY_UNET,
+                                vae=configs.TINY_VAE, text=configs.TINY_TEXT)
+    params = {
+        "unet": unet_mod.init_unet(jax.random.PRNGKey(0), cfgs.unet),
+        "vae": vae_mod.init_vae(jax.random.PRNGKey(1), cfgs.vae),
+    }
+    return cfgs, params
+
+
+class TestEngine:
+    def test_uint8_roundtrip_edge_mode(self, tiny_params):
+        cfgs, params = tiny_params
+        eng = ServingEngine(params, cfgs, mode="edge_to_image",
+                            dtype=jnp.float32, donate_input=False)
+        ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim))
+        img = np.random.RandomState(0).randint(
+            0, 255, (1, 64, 64, 3), np.uint8)
+        out = eng(img, ctx)
+        assert out.shape == (1, 64, 64, 3)
+        assert out.dtype == jnp.uint8
+
+    def test_image_mode_and_batch_broadcast(self, tiny_params):
+        cfgs, params = tiny_params
+        eng = ServingEngine(params, cfgs, mode="image", dtype=jnp.float32,
+                            donate_input=False)
+        ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim))
+        img = np.zeros((3, 64, 64, 3), np.uint8)
+        out = eng(img, ctx)
+        assert out.shape == (3, 64, 64, 3)
+
+    def test_unknown_mode_raises(self, tiny_params):
+        cfgs, params = tiny_params
+        with pytest.raises(ValueError, match="unknown serving mode"):
+            ServingEngine(params, cfgs, mode="nope")
+
+
+class TestDemos:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        cfgs = p2p.GeneratorConfigs(unet=configs.TINY_UNET,
+                                    vae=configs.TINY_VAE,
+                                    text=configs.TINY_TEXT)
+        pipe = p2p.Pix2PixTurbo.from_random(jax.random.PRNGKey(0),
+                                            cfgs=cfgs).merge()
+        # text path: use a fixed caption embedding instead of a tokenizer
+        d = cfgs.unet.cross_attention_dim
+        pipe._prompt_cache = {}
+        pipe.encode_prompt = lambda prompt: jnp.zeros((1, 77, d))
+        return pipe
+
+    def test_style_templates_match_reference_surface(self):
+        assert len(demo_mod.STYLE_LIST) == 9
+        assert demo_mod.DEFAULT_STYLE == "Fantasy art"
+        out = demo_mod.apply_style("Manga", "a cat")
+        assert out.startswith("manga style a cat")
+
+    def test_canny_demo_process(self, pipe):
+        img = Image.fromarray(np.random.RandomState(0).randint(
+            0, 255, (70, 66, 3), np.uint8))  # non-x8 size: demo crops
+        edges, out = demo_mod.CannyDemo(pipe).process(img, "p", 100, 200)
+        assert out.size == (64, 64)
+        assert edges.size == (64, 64)
+
+    def test_sketch_demo_run_stochastic(self, pipe):
+        from img2img_turbo_tpu.models import unet as unet_mod
+        pipe.base["unet"] = unet_mod.make_twin_conv_in(pipe.base["unet"])
+        sketch = Image.fromarray(
+            (np.random.RandomState(1).rand(64, 64, 3) > 0.5).astype(np.uint8)
+            * 255)
+        out = demo_mod.SketchDemo(pipe).run(sketch, "a dog", "Anime", 42,
+                                            0.4)
+        assert out.size == (64, 64)
+
+    def test_launch_without_gradio_raises_cleanly(self, pipe):
+        import importlib
+        if importlib.util.find_spec("gradio") is not None:
+            pytest.skip("gradio installed")
+        with pytest.raises(RuntimeError, match="gradio is not installed"):
+            demo_mod.launch_canny_demo(pipe)
