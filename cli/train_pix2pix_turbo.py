@@ -138,10 +138,17 @@ def main(args):
     import time
     rng = jax.random.PRNGKey((args.seed or 0) + 1)
     t_last = time.time()
+    # --mixed_precision bf16: activations in bf16 (dtype follows the batch
+    # through the functional models), fp32 master trainables + fp32 loss
+    # accumulation (reference weight_dtype cast, train_pix2pix_turbo.py:126-136)
+    cast = (lambda x: x.astype(jnp.bfloat16)) if \
+        args.mixed_precision == "bf16" else (lambda x: x)
     for step_i, batch in zip(range(start_step, args.max_train_steps), loader):
         dev_batch = mesh_mod.shard_batch({
-            "conditioning_pixel_values": batch["conditioning_pixel_values"],
-            "output_pixel_values": batch["output_pixel_values"],
+            "conditioning_pixel_values": cast(jnp.asarray(
+                batch["conditioning_pixel_values"])),
+            "output_pixel_values": cast(jnp.asarray(
+                batch["output_pixel_values"])),
             "input_ids": batch["input_ids"].astype(np.int32),
         }, mesh)
         rng, sub = jax.random.split(rng)

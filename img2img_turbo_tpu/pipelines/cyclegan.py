@@ -139,9 +139,18 @@ class CycleGANTurbo:
                         cfgs: Optional[GeneratorConfigs] = None,
                         dtype=jnp.bfloat16):
         """Load sd-turbo safetensors + a CycleGAN-Turbo pkl (schema:
-        train_cyclegan_turbo.py:293-307 / loader cyclegan_turbo.py:162-190)."""
+        train_cyclegan_turbo.py:293-307 / loader cyclegan_turbo.py:162-190).
+
+        ckpt_path may be a published model name ("day_to_night", ...) —
+        the fixed caption/direction then come from NAMED_MODELS, like the
+        reference's pretrained_name mode (cyclegan_turbo.py:126-149)."""
         import os
+        from img2img_turbo_tpu.utils.download import get_checkpoint
         from img2img_turbo_tpu.weights import torch_import as ti
+
+        if ckpt_path in NAMED_MODELS:
+            _, caption, direction = NAMED_MODELS[ckpt_path]
+            ckpt_path = get_checkpoint(ckpt_path)
 
         cfgs = cfgs or GeneratorConfigs()
         unet_sd = ti.load_safetensors(os.path.join(

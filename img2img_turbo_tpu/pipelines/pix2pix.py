@@ -152,15 +152,23 @@ class Pix2PixTurbo:
     def from_pretrained(cls, sd_turbo_dir: str, ckpt_path: Optional[str],
                         stochastic: bool = False,
                         cfgs: Optional[GeneratorConfigs] = None,
-                        dtype=jnp.bfloat16):
+                        dtype=jnp.bfloat16, ckpt_folder: str = "checkpoints"):
         """Load HF sd-turbo safetensors + an img2img-turbo pkl checkpoint
         (schema: reference pix2pix_turbo.py:221-229).
 
+        ckpt_path may also be a published model name ("edge_to_image" /
+        "sketch_to_image_stochastic"), resolved/downloaded like the
+        reference's pretrained_name mode (pix2pix_turbo.py:47-99).
         For the deterministic models (edge_to_image) LoRA is merged into
         dense weights; for stochastic (sketch) it stays factored with a
         TwinConv conv_in."""
         import os
+        from img2img_turbo_tpu.utils.download import MODEL_FILES, get_checkpoint
         from img2img_turbo_tpu.weights import torch_import as ti
+
+        if ckpt_path in MODEL_FILES:
+            stochastic = stochastic or ckpt_path == "sketch_to_image_stochastic"
+            ckpt_path = get_checkpoint(ckpt_path, ckpt_folder)
 
         cfgs = cfgs or GeneratorConfigs()
         unet_sd = ti.load_safetensors(os.path.join(
