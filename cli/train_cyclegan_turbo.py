@@ -65,6 +65,7 @@ def main(args):
                               seed=args.seed)
     loader = data.accumulate_batches(loader,
                                      args.gradient_accumulation_steps)
+    loader = data.prefetch(loader, depth=2)
     emb_a2b = clip_text.clip_text_forward(
         text_p, cfgs.text, jnp.asarray(dataset.input_ids_tgt,
                                        jnp.int32)[None])

@@ -93,6 +93,7 @@ def main(args):
                               seed=args.seed or 0)
     loader = data.accumulate_batches(loader,
                                      args.gradient_accumulation_steps)
+    loader = data.prefetch(loader, depth=2)
     try:
         val_dataset = data.PairedDataset(args.dataset_folder, "test",
                                          args.test_image_prep, tok)

@@ -230,21 +230,48 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
     )(q, k, v)
 
 
-def multihead_attention(q, k, v, num_heads: int):
-    """Layout-aware dispatch on projected (B, S, D) tensors.
-
-    TPU + long queries: transpose-free folded flash kernel. Otherwise:
-    reshape/transpose to (B, H, S, hd) and use the XLA reference path."""
+def _mha_xla(q, k, v, num_heads: int):
     b, sq, d = q.shape
     skv = k.shape[1]
-    if jax.default_backend() == "tpu" and sq >= 256 and d % num_heads == 0:
-        return flash_attention_folded(q, k, v, num_heads)
     hd = d // num_heads
     qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
     o = scaled_dot_product_attention(qh, kh, vh)
     return o.transpose(0, 2, 1, 3).reshape(b, sq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mha_flash(q, k, v, num_heads: int):
+    return flash_attention_folded(q, k, v, num_heads)
+
+
+def _mha_flash_fwd(q, k, v, num_heads: int):
+    return flash_attention_folded(q, k, v, num_heads), (q, k, v)
+
+
+def _mha_flash_bwd(num_heads: int, res, g):
+    # backward recomputes through the XLA path (Pallas kernels have no
+    # automatic JVP); forward stays flash. A dedicated flash backward
+    # kernel is future work — this matches non-flash training memory.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _mha_xla(q_, k_, v_, num_heads),
+                     q, k, v)
+    return vjp(g)
+
+
+_mha_flash.defvjp(_mha_flash_fwd, _mha_flash_bwd)
+
+
+def multihead_attention(q, k, v, num_heads: int):
+    """Layout-aware dispatch on projected (B, S, D) tensors.
+
+    TPU + long queries: transpose-free folded flash kernel (custom VJP:
+    XLA-recompute backward). Otherwise: the XLA reference path."""
+    sq, d = q.shape[1], q.shape[2]
+    if jax.default_backend() == "tpu" and sq >= 256 and d % num_heads == 0:
+        return _mha_flash(q, k, v, num_heads)
+    return _mha_xla(q, k, v, num_heads)
 
 
 def default_attention(q, k, v):

@@ -96,3 +96,36 @@ class ServingEngine:
         dummy = jnp.zeros((batch, height, width, 3), jnp.uint8)
         self(dummy, caption_enc).block_until_ready()
         return self
+
+
+# default shape buckets for arbitrary-size inputs (gradio canvases etc.);
+# one compiled program per bucket instead of one per size
+SIZE_BUCKETS = (256, 384, 512, 768, 1024)
+
+
+def bucket_size(n: int, buckets=SIZE_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+class BucketedEngine:
+    """Wraps ServingEngine for arbitrary input sizes: pads the image to the
+    nearest (H, W) bucket (edge padding), runs the bucketed program, crops
+    the output back. Bounds compile count for interactive use where every
+    canvas resize would otherwise trigger a ~30 s recompile."""
+
+    def __init__(self, engine: ServingEngine):
+        self.engine = engine
+
+    def __call__(self, image_u8, caption_enc, rng=None):
+        import numpy as np
+        arr = np.asarray(image_u8)
+        b, h, w, c = arr.shape
+        bh, bw = bucket_size(h), bucket_size(w)
+        if (bh, bw) != (h, w):
+            arr = np.pad(arr, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)),
+                         mode="edge")
+        out = self.engine(jnp.asarray(arr), caption_enc, rng)
+        return out[:, :h, :w]

@@ -162,6 +162,32 @@ class UnpairedDataset:
 # ---------------------------------------------------------------------------
 
 
+def prefetch(loader: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
+    """Background-thread prefetch: hides PIL decode/resize latency behind
+    device steps (PIL releases the GIL during decode). The reference relies
+    on torch DataLoader workers (default 0! training_utils.py:74,131)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in loader:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
 def accumulate_batches(loader: Iterator[Dict], k: int) -> Iterator[Dict]:
     """Gradient accumulation as batch concatenation.
 

@@ -118,3 +118,28 @@ class TestFlashAttention:
                 jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads,
                 block_q=128, block_k=128))
         np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+    def test_flash_custom_vjp_matches_xla_grads(self):
+        """Training differentiates through attention; the flash path's
+        custom VJP (XLA-recompute backward) must match XLA grads exactly
+        on CPU."""
+        from jax.experimental.pallas import tpu as pltpu
+        from img2img_turbo_tpu.ops.attention import _mha_flash, _mha_xla
+
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 128, 128).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 128, 128).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 128, 128).astype(np.float32))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(_mha_flash(q, k, v, 2) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(_mha_xla(q, k, v, 2) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
