@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 def main(args):
     from img2img_turbo_tpu import lora as lora_mod
-    from img2img_turbo_tpu.models import clip_text
     from img2img_turbo_tpu.parallel import mesh as mesh_mod
     from img2img_turbo_tpu.training import (checkpoint as ckpt_mod, data,
                                             losses as losses_mod, optim,
@@ -34,8 +33,6 @@ def main(args):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     unet_p, vae_p, text_p, tok = runner.load_base_models(args, cfgs, k1)
     if tok is None:
-        from img2img_turbo_tpu.models.tokenizer import CLIPTokenizer
-
         class _RandTok:  # offline smoke tokenizer: hashes words to ids
             model_max_length = 77
 

@@ -28,7 +28,6 @@ trains with scale 2, while CycleGAN passes lora_alpha=rank for scale 1).
 from __future__ import annotations
 
 import dataclasses
-import math
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -10,7 +10,7 @@ uint8 image before normalization — is preserved via resize_fn.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 import jax

@@ -13,7 +13,7 @@ present; random init keeps the metric structurally exercisable offline.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax

@@ -17,7 +17,6 @@ program serves every r.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -23,8 +23,6 @@ takes the channel with the largest magnitude per pixel.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

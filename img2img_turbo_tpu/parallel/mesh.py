@@ -26,6 +26,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host init (jax.distributed over DCN). On single-host setups
+    this is a no-op; on pods, call before any jax op. Replaces the
+    reference's torch.distributed/NCCL process-group init (hidden inside
+    accelerate, train_pix2pix_turbo.py:28-32)."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    return jax.process_index() == 0  # main-process gating flag
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     """(data, model) mesh. Defaults to all devices on the data axis."""

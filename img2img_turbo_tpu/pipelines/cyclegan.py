@@ -16,13 +16,13 @@ they stay factored per-adapter.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from img2img_turbo_tpu import configs, lora as lora_mod, scheduler
+from img2img_turbo_tpu import lora as lora_mod, scheduler
 from img2img_turbo_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
 from img2img_turbo_tpu.models.tokenizer import CLIPTokenizer
 from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs

@@ -12,8 +12,6 @@ raises a clear error when gradio is absent.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 # style prompt templates (same surface as the reference demo,

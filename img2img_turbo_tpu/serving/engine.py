@@ -11,7 +11,7 @@ crosses host<->device repeatedly: cv2 canny on host, ToTensor, .cuda(),
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax

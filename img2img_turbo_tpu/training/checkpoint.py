@@ -12,10 +12,9 @@ for interchange with the PyTorch implementation.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
-import jax
 
 
 def _mgr(directory: str, max_to_keep: int = 3):

@@ -9,7 +9,7 @@ per-image DINO-Struct).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax

@@ -9,7 +9,6 @@ then GAN passes scaled by λ_gan) and unpaired loop
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,11 +17,9 @@ UNet LoRA + conv_in (full), VAE LoRA + 4 skip convs. Everything else frozen.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler

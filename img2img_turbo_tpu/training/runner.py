@@ -11,13 +11,12 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from img2img_turbo_tpu import configs, lora as lora_mod
+from img2img_turbo_tpu import configs
 from img2img_turbo_tpu.models import (clip_text, clip_vit, discriminator,
                                       unet as unet_mod, vae as vae_mod,
                                       vgg_lpips)

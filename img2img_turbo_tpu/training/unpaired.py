@@ -25,7 +25,6 @@ import dataclasses
 from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler

@@ -53,6 +53,13 @@ def _norm(sd: Mapping[str, Array], prefix: str):
 
 
 def load_safetensors(path: str) -> Dict[str, Array]:
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — expected a local HF stabilityai/sd-turbo "
+            "snapshot with unet/vae/text_encoder subfolders (fetch with "
+            "`huggingface-cli download stabilityai/sd-turbo` on a networked "
+            "machine and point --sd_turbo_path at it)")
     from safetensors.numpy import load_file
     return load_file(path)
 
