@@ -239,7 +239,8 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
             outs.append(sample)
         return sample, outs
 
-    def run_up_block(block, sample, res_samples, temb, context):
+    def run_up_block(block, sample, res_samples, temb, context,
+                     upsample_size):
         attns = block.get("attns")
         for j, res in enumerate(block["resnets"]):
             skip = res_samples[-(j + 1)]
@@ -250,7 +251,16 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
                 sample = _transformer(attns[j], sample, context, heads, cfg,
                                       attn_fn)
         if "upsample" in block:
-            sample = L.conv2d(block["upsample"], L.upsample_nearest_2x(sample))
+            b, h, w, c = sample.shape
+            if upsample_size is not None and upsample_size != (2 * h, 2 * w):
+                # odd skip sizes: upsample to the next level's exact size
+                # (diffusers forward_upsample_size semantics — nearest
+                # interpolation to the stored residual's spatial dims)
+                up = jax.image.resize(
+                    sample, (b,) + upsample_size + (c,), "nearest")
+            else:
+                up = L.upsample_nearest_2x(sample)
+            sample = L.conv2d(block["upsample"], up)
         return sample
 
     def run_mid(mid, sample, temb, context):
@@ -262,7 +272,9 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
 
     if remat:
         run_down_block = jax.checkpoint(run_down_block)
-        run_up_block = jax.checkpoint(run_up_block)
+        # upsample_size is a static shape tuple — keep it out of the traced
+        # args by declaring it static to jax.checkpoint
+        run_up_block = jax.checkpoint(run_up_block, static_argnums=(5,))
         run_mid = jax.checkpoint(run_mid)
 
     res_stack = [sample]
@@ -275,7 +287,10 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
     for block in params["up"]:
         k = len(block["resnets"])
         res_samples, res_stack = res_stack[-k:], res_stack[:-k]
-        sample = run_up_block(block, sample, res_samples, temb, context)
+        upsample_size = (tuple(res_stack[-1].shape[1:3])
+                         if res_stack else None)
+        sample = run_up_block(block, sample, res_samples, temb, context,
+                              upsample_size)
 
     sample = L.group_norm(params["norm_out"], sample, cfg.norm_num_groups,
                           cfg.norm_eps)

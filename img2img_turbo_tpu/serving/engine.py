@@ -52,43 +52,89 @@ def _serve_image(params, cfgs: GeneratorConfigs, alphas, image_u8,
     return image_mod.signed_to_uint8(img)
 
 
+def _serve_sketch(base, lora, cfgs: GeneratorConfigs, alphas, image_u8,
+                  caption_enc, rng, r):
+    """uint8 sketch -> threshold < 0.5 -> stochastic generator -> uint8
+    (reference inference_paired.py:55-63 + pix2pix_turbo.py:204-218).
+    r is a traced scalar; rng drives both the noise map and the posterior."""
+    from img2img_turbo_tpu.pipelines.pix2pix import generate_stochastic
+
+    unit = image_mod.uint8_to_unit(image_u8)
+    c_t = (unit < 0.5).astype(caption_enc.dtype)
+    nkey, vkey = jax.random.split(rng)
+    b, h, w, _ = image_u8.shape
+    noise = jax.random.normal(nkey, (b, h // 8, w // 8, 4),
+                              caption_enc.dtype)
+    img = generate_stochastic(base, lora, cfgs, alphas, c_t, caption_enc,
+                              vkey, r, noise)
+    return image_mod.signed_to_uint8(img)
+
+
 class ServingEngine:
     """Compiled one-step translation server.
 
-    mode: "edge_to_image" (canny preprocessing on device) or "image"
-    (direct [-1,1] input, CycleGAN-style).
+    mode:
+    - "edge_to_image": on-device canny preprocessing (deterministic)
+    - "image": direct [-1,1] input (CycleGAN-style, deterministic)
+    - "sketch": stochastic path — pass base/lora (factored) instead of
+      merged params; __call__ takes a traced r (sketch guidance).
     """
 
-    def __init__(self, params: Dict, cfgs: Optional[GeneratorConfigs] = None,
+    def __init__(self, params: Dict = None,
+                 cfgs: Optional[GeneratorConfigs] = None,
                  mode: str = "edge_to_image", dtype=jnp.bfloat16,
                  canny_low: float = 100.0, canny_high: float = 200.0,
-                 donate_input: bool = True):
+                 donate_input: bool = True, base: Dict = None,
+                 lora: Dict = None):
         self.cfgs = cfgs or GeneratorConfigs()
         self.mode = mode
         self.dtype = dtype
         alphas = scheduler.make_alphas_cumprod()
-        self.params = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-            params)
+
+        def cast(tree):
+            # lora trees carry python scalars (rank/alpha) — leave those
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                tree)
+
         if mode == "edge_to_image":
+            self.params = cast(params)
             fn = functools.partial(_serve_edge, cfgs=self.cfgs,
                                    alphas=alphas, low=canny_low,
                                    high=canny_high)
+            self._fn = jax.jit(fn, donate_argnames=("image_u8",)
+                               if donate_input else ())
         elif mode == "image":
+            self.params = cast(params)
             fn = functools.partial(_serve_image, cfgs=self.cfgs,
                                    alphas=alphas)
+            self._fn = jax.jit(fn, donate_argnames=("image_u8",)
+                               if donate_input else ())
+        elif mode == "sketch":
+            assert base is not None and lora is not None, (
+                "sketch mode needs factored base+lora (runtime r scaling)")
+            self.base = cast(base)
+            self.lora = cast(lora)
+            fn = functools.partial(_serve_sketch, cfgs=self.cfgs,
+                                   alphas=alphas)
+            self._sketch_fn = jax.jit(
+                fn, donate_argnames=("image_u8",) if donate_input else ())
         else:
             raise ValueError(f"unknown serving mode {mode!r}")
-        self._fn = jax.jit(fn, donate_argnames=("image_u8",)
-                           if donate_input else ())
 
-    def __call__(self, image_u8, caption_enc, rng=None):
+    def __call__(self, image_u8, caption_enc, rng=None, r: float = 0.4):
         """image_u8: (B, H, W, 3) uint8 on host or device. Returns uint8
-        (B, H, W, 3) on device."""
+        (B, H, W, 3) on device. r only applies in sketch mode."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if caption_enc.shape[0] != image_u8.shape[0]:
             caption_enc = jnp.broadcast_to(
                 caption_enc, (image_u8.shape[0],) + caption_enc.shape[1:])
+        if self.mode == "sketch":
+            return self._sketch_fn(self.base, self.lora,
+                                   image_u8=jnp.asarray(image_u8),
+                                   caption_enc=caption_enc.astype(self.dtype),
+                                   rng=rng, r=jnp.asarray(r, jnp.float32))
         return self._fn(params=self.params, image_u8=jnp.asarray(image_u8),
                         caption_enc=caption_enc.astype(self.dtype), rng=rng)
 

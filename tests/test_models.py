@@ -240,3 +240,33 @@ class TestScheduler:
                 jnp.array(eps[i:i + 1]), jnp.array(xt[i:i + 1]),
                 jnp.array(t[i:i + 1]), ac))
             np.testing.assert_allclose(got[i:i + 1], one, rtol=1e-6)
+
+
+class TestOddSizes:
+    def test_unet_non_power_of_two_latents(self):
+        """x8-multiple images give odd latent sizes (bird.png crops to
+        432x296 -> latent 54x37 -> 27 -> 14 -> 7); upsampling must target
+        the stored residual's exact size (diffusers forward_upsample_size
+        semantics)."""
+        cfg = configs.TINY_UNET
+        params = unet_mod.init_unet(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 54, 38, 4))
+        t = jnp.full((1,), 999, jnp.int32)
+        ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+        y = unet_mod.unet_forward(params, cfg, x, t, ctx)
+        assert y.shape == (1, 54, 38, 4)
+        y2 = unet_mod.unet_forward(params, cfg, x, t, ctx, remat=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                                   rtol=1e-4, atol=5e-5)
+
+    def test_full_pipeline_odd_size(self):
+        from img2img_turbo_tpu.pipelines import pix2pix as p2p
+        cfgs = p2p.GeneratorConfigs(unet=configs.TINY_UNET,
+                                    vae=configs.TINY_VAE,
+                                    text=configs.TINY_TEXT)
+        pipe = p2p.Pix2PixTurbo.from_random(jax.random.PRNGKey(0),
+                                            cfgs=cfgs).merge()
+        c_t = jnp.zeros((1, 432, 296, 3))
+        ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim))
+        out = pipe(c_t, caption_enc=ctx)
+        assert out.shape == (1, 432, 296, 3)

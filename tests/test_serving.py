@@ -50,6 +50,33 @@ class TestEngine:
         with pytest.raises(ValueError, match="unknown serving mode"):
             ServingEngine(params, cfgs, mode="nope")
 
+    def test_sketch_mode_stochastic(self, tiny_params):
+        from img2img_turbo_tpu import lora as lora_mod
+        from img2img_turbo_tpu.models import unet as unet_mod
+
+        cfgs, params = tiny_params
+        base = {"unet": unet_mod.make_twin_conv_in(dict(params["unet"])),
+                "vae": params["vae"]}
+        lora = {
+            "unet": lora_mod.init_lora(
+                jax.random.PRNGKey(2), base["unet"],
+                lora_mod.LoRASpec(2, ("to_q",)), "unet"),
+            "vae": lora_mod.init_lora(
+                jax.random.PRNGKey(3), base["vae"],
+                lora_mod.LoRASpec(2, ("to_q",)), "vae"),
+        }
+        eng = ServingEngine(cfgs=cfgs, mode="sketch", dtype=jnp.float32,
+                            donate_input=False, base=base, lora=lora)
+        ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim))
+        sketch = np.zeros((1, 64, 64, 3), np.uint8)
+        o1 = eng(sketch, ctx, rng=jax.random.PRNGKey(0), r=0.3)
+        o2 = eng(sketch, ctx, rng=jax.random.PRNGKey(0), r=0.8)
+        o3 = eng(sketch, ctx, rng=jax.random.PRNGKey(9), r=0.3)
+        assert o1.shape == (1, 64, 64, 3) and o1.dtype == jnp.uint8
+        # r changes the output; seed changes the noise map
+        assert np.abs(o1.astype(int) - o2.astype(int)).max() > 0
+        assert np.abs(o1.astype(int) - o3.astype(int)).max() > 0
+
 
 class TestDemos:
     @pytest.fixture(scope="class")
