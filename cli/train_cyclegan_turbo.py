@@ -33,15 +33,7 @@ def main(args):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     unet_p, vae_a2b, text_p, tok = runner.load_base_models(args, cfgs, k1)
     if tok is None:
-        class _RandTok:
-            model_max_length = 77
-
-            def __call__(self, text):
-                ids = [(abs(hash(w)) % (cfgs.text.vocab_size - 3)) + 1
-                       for w in str(text).split()][:75]
-                return np.asarray([[1] + ids + [0] * (76 - len(ids))],
-                                  np.int32)
-        tok = _RandTok()
+        tok = runner.SmokeTokenizer(cfgs.text.vocab_size)
     vae_b2a = jax.tree_util.tree_map(jnp.copy, vae_a2b)
     unet_adapters = cyclegan_unet_adapters(unet_p, args.lora_rank_unet, k2)
     vae_spec = lora_mod.LoRASpec(args.lora_rank_vae,
@@ -50,13 +42,14 @@ def main(args):
     vae_b2a_lora = lora_mod.init_lora(k3, vae_b2a, vae_spec, "vae")
     gen, frozen, meta = unpaired.split_trainable(
         unet_p, vae_a2b, vae_b2a, unet_adapters, vae_a2b_lora, vae_b2a_lora)
-    aux_frozen, disc_heads_a = runner.init_aux_models(
+    aux_frozen, disc_heads_a, disc_sn_a = runner.init_aux_models(
         args, k4, clip_cfg, with_clipsim=False)
     # two discriminators (A judges domain-B images, B judges domain-A)
     from img2img_turbo_tpu.models import discriminator as disc_mod
-    disc_heads_b = disc_mod.init_discriminator(
-        k5, clip_cfg, backbone=aux_frozen["disc_backbone"])["heads"]
-    disc = {"a": disc_heads_a, "b": disc_heads_b}
+    disc_full_b = disc_mod.init_discriminator(
+        k5, clip_cfg, backbone=aux_frozen["disc_backbone"])
+    disc = {"a": disc_heads_a, "b": disc_full_b["heads"]}
+    disc_sn = {"a": disc_sn_a, "b": disc_full_b["sn"]}
 
     # dataset + fixed embeddings ------------------------------------------
     dataset = data.UnpairedDataset(args.dataset_folder, "train",
@@ -86,7 +79,7 @@ def main(args):
                                args.adam_epsilon, args.adam_weight_decay,
                                args.max_grad_norm)
     state = {"gen": gen, "gen_opt": gen_tx.init(gen), "disc": disc,
-             "disc_opt": disc_tx.init(disc),
+             "disc_sn": disc_sn, "disc_opt": disc_tx.init(disc),
              "step": jnp.zeros((), jnp.int32)}
 
     state_dir = os.path.join(args.output_dir, "state")
@@ -139,7 +132,7 @@ def main(args):
     eval_ctx = None
     if test_a and test_b:
         val_T = data.build_transform(args.val_img_prep)
-        inc_p = inc_mod.init_inception(jax.random.PRNGKey(7))
+        inc_p = runner.init_inception(args, jax.random.PRNGKey(7))
         dino = DinoStructureLoss(
             cfg=dino_mod.TINY_DINO if args.tiny_model else
             dino_mod.DINO_VITB8)

@@ -33,17 +33,7 @@ def main(args):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     unet_p, vae_p, text_p, tok = runner.load_base_models(args, cfgs, k1)
     if tok is None:
-        class _RandTok:  # offline smoke tokenizer: hashes words to ids
-            model_max_length = 77
-
-            def __call__(self, text):
-                ids = [(abs(hash(w)) % (cfgs.text.vocab_size - 3)) + 1
-                       for w in (text if isinstance(text, str) else
-                                 " ".join(text)).split()][:75]
-                return np.asarray([[49406 % cfgs.text.vocab_size] + ids
-                                   + [0] * (76 - len(ids))], np.int32)
-
-        tok = _RandTok()
+        tok = runner.SmokeTokenizer(cfgs.text.vocab_size)
     unet_lora = lora_mod.init_lora(
         k2, unet_p,
         lora_mod.LoRASpec(args.lora_rank_unet,
@@ -54,7 +44,7 @@ def main(args):
         "vae")
     gen, frozen, meta = paired.split_trainable(unet_p, vae_p, unet_lora,
                                                vae_lora)
-    aux_frozen, disc_heads = runner.init_aux_models(
+    aux_frozen, disc_heads, disc_sn = runner.init_aux_models(
         args, k4, clip_cfg, with_clipsim=args.lambda_clipsim > 0)
     aux_frozen["text"] = text_p
 
@@ -70,7 +60,7 @@ def main(args):
                                args.adam_epsilon, args.adam_weight_decay,
                                args.max_grad_norm)
     state = {"gen": gen, "gen_opt": gen_tx.init(gen), "disc": disc_heads,
-             "disc_opt": disc_tx.init(disc_heads),
+             "disc_sn": disc_sn, "disc_opt": disc_tx.init(disc_heads),
              "step": jnp.zeros((), jnp.int32)}
 
     # resume --------------------------------------------------------------
@@ -124,7 +114,7 @@ def main(args):
         from PIL import Image
         from img2img_turbo_tpu.metrics import fid as fid_mod
         from img2img_turbo_tpu.metrics import inception as inc_mod
-        inc_p = inc_mod.init_inception(jax.random.PRNGKey(7))
+        inc_p = runner.init_inception(args, jax.random.PRNGKey(7))
         refs = []
         for name in val_dataset.img_names:
             img = Image.open(os.path.join(val_dataset.output_folder, name))

@@ -204,6 +204,137 @@ def renorm_signed_to_clip(x):
     return inorm
 
 
+# ---------------------------------------------------------------------------
+# Weight ingestion: OpenAI `ViT-B-32.pt` state dicts (what `clip.load` uses,
+# reference train_pix2pix_turbo.py:76) and HF CLIPModel state dicts.
+# ---------------------------------------------------------------------------
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _cv_lin(w, b=None):
+    p = {"kernel": jnp.asarray(np.ascontiguousarray(_np(w).T))}
+    if b is not None:
+        p["bias"] = jnp.asarray(_np(b))
+    return p
+
+
+def _cv_norm(sd, prefix):
+    return {"scale": jnp.asarray(_np(sd[prefix + ".weight"])),
+            "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+
+def _openai_blocks(sd, prefix, n_layers, width):
+    blocks = []
+    for i in range(n_layers):
+        bp = f"{prefix}.resblocks.{i}"
+        in_w = _np(sd[bp + ".attn.in_proj_weight"])  # (3W, W)
+        in_b = _np(sd[bp + ".attn.in_proj_bias"])
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        blocks.append({
+            "ln1": _cv_norm(sd, bp + ".ln_1"),
+            "attn": {
+                "q": _cv_lin(qw, qb),
+                "k": _cv_lin(kw, kb),
+                "v": _cv_lin(vw, vb),
+                "out": _cv_lin(sd[bp + ".attn.out_proj.weight"],
+                               sd[bp + ".attn.out_proj.bias"]),
+            },
+            "ln2": _cv_norm(sd, bp + ".ln_2"),
+            "fc1": _cv_lin(sd[bp + ".mlp.c_fc.weight"],
+                           sd[bp + ".mlp.c_fc.bias"]),
+            "fc2": _cv_lin(sd[bp + ".mlp.c_proj.weight"],
+                           sd[bp + ".mlp.c_proj.bias"]),
+        })
+    return blocks
+
+
+def _hf_blocks(sd, prefix, n_layers):
+    blocks = []
+    for i in range(n_layers):
+        bp = f"{prefix}.layers.{i}"
+        blocks.append({
+            "ln1": _cv_norm(sd, bp + ".layer_norm1"),
+            "attn": {k: _cv_lin(sd[f"{bp}.self_attn.{n}_proj.weight"],
+                                sd[f"{bp}.self_attn.{n}_proj.bias"])
+                     for k, n in (("q", "q"), ("k", "k"), ("v", "v"),
+                                  ("out", "out"))},
+            "ln2": _cv_norm(sd, bp + ".layer_norm2"),
+            "fc1": _cv_lin(sd[bp + ".mlp.fc1.weight"],
+                           sd[bp + ".mlp.fc1.bias"]),
+            "fc2": _cv_lin(sd[bp + ".mlp.fc2.weight"],
+                           sd[bp + ".mlp.fc2.bias"]),
+        })
+    return blocks
+
+
+def convert_clip_state_dict(sd, cfg: CLIPViTConfig = CLIP_VIT_B32) -> Dict:
+    """OpenAI `clip` checkpoint (ViT-B-32.pt state_dict) or HF CLIPModel
+    state dict -> {"vision", "text", "logit_scale"} pytree for
+    vision_forward/text_forward. Feed ["vision"] to the vision-aided
+    discriminator backbone (models/discriminator.py) and the whole tree to
+    clip_similarity (reference train_pix2pix_turbo.py:64-78,181-187)."""
+    if "visual.proj" in sd:  # OpenAI layout
+        vision = {
+            "patch_embed": {"kernel": jnp.asarray(np.ascontiguousarray(
+                _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)))},
+            "class_embed": jnp.asarray(_np(sd["visual.class_embedding"])),
+            "pos_embed": jnp.asarray(_np(sd["visual.positional_embedding"])),
+            "ln_pre": _cv_norm(sd, "visual.ln_pre"),
+            "blocks": _openai_blocks(sd, "visual.transformer",
+                                     cfg.num_layers, cfg.hidden_size),
+            "ln_post": _cv_norm(sd, "visual.ln_post"),
+            "proj": jnp.asarray(_np(sd["visual.proj"])),
+        }
+        text = {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+            "pos_embed": jnp.asarray(_np(sd["positional_embedding"])),
+            "blocks": _openai_blocks(sd, "transformer", cfg.text_layers,
+                                     cfg.text_hidden),
+            "ln_final": _cv_norm(sd, "ln_final"),
+            "proj": jnp.asarray(_np(sd["text_projection"])),
+        }
+    elif "visual_projection.weight" in sd:  # HF CLIPModel layout
+        vp = "vision_model."
+        pre_ln = (vp + "pre_layrnorm" if vp + "pre_layrnorm.weight" in sd
+                  else vp + "pre_layernorm")  # HF's historical typo
+        vision = {
+            "patch_embed": {"kernel": jnp.asarray(np.ascontiguousarray(
+                _np(sd[vp + "embeddings.patch_embedding.weight"])
+                .transpose(2, 3, 1, 0)))},
+            "class_embed": jnp.asarray(
+                _np(sd[vp + "embeddings.class_embedding"]).reshape(-1)),
+            "pos_embed": jnp.asarray(
+                _np(sd[vp + "embeddings.position_embedding.weight"])),
+            "ln_pre": _cv_norm(sd, pre_ln),
+            "blocks": _hf_blocks(sd, vp + "encoder", cfg.num_layers),
+            "ln_post": _cv_norm(sd, vp + "post_layernorm"),
+            "proj": jnp.asarray(np.ascontiguousarray(
+                _np(sd["visual_projection.weight"]).T)),
+        }
+        tp = "text_model."
+        text = {
+            "token_embedding": jnp.asarray(
+                _np(sd[tp + "embeddings.token_embedding.weight"])),
+            "pos_embed": jnp.asarray(
+                _np(sd[tp + "embeddings.position_embedding.weight"])),
+            "blocks": _hf_blocks(sd, tp + "encoder", cfg.text_layers),
+            "ln_final": _cv_norm(sd, tp + "final_layer_norm"),
+            "proj": jnp.asarray(np.ascontiguousarray(
+                _np(sd["text_projection.weight"]).T)),
+        }
+    else:
+        raise ValueError(
+            "unrecognized CLIP state dict: expected OpenAI ('visual.proj') "
+            "or HF CLIPModel ('visual_projection.weight') key layout")
+    scale = sd.get("logit_scale", np.log(1.0 / 0.07))
+    return {"vision": vision, "text": text,
+            "logit_scale": jnp.asarray(float(_np(scale)), jnp.float32)}
+
+
 def clip_similarity(params, cfg: CLIPViTConfig, images, text_ids):
     """Reference clipsim (train_pix2pix_turbo.py:185-187): cosine sim * 100
     between matched image/text pairs. images: (B,H,W,3) in [-1,1] already

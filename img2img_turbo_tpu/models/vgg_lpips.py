@@ -103,6 +103,33 @@ def lpips(params, x, y) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def load_lpips_weights(path: str) -> Dict:
+    """Single-file ingestion of a torch `lpips.LPIPS(net='vgg')` state dict
+    (keys 'net.sliceK.I.weight' + 'linN.model.1.weight'), or a dict
+    {"vgg": torchvision features sd, "lins": lpips lin sd}."""
+    from img2img_turbo_tpu.weights.torch_import import load_torch_pickle
+    sd = load_torch_pickle(path)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "vgg" in sd and "lins" in sd:
+        return convert_lpips_state_dict(sd["vgg"], sd["lins"])
+    vgg_sd, lin_sd = {}, {}
+    for k, v in sd.items():
+        if k.startswith("net.slice"):
+            # 'net.slice1.2.weight' -> 'features.2.weight' (lpips names
+            # submodules by the original torchvision features index)
+            idx_name = k.split(".", 2)[2]
+            vgg_sd[f"features.{idx_name}"] = v
+        elif k.startswith("lin"):
+            lin_sd[k] = v
+        elif k.startswith("features."):
+            vgg_sd[k] = v
+    if not lin_sd:
+        raise ValueError(f"{path}: no lpips lin-head weights found "
+                         "(expected 'linN.model.1.weight' keys)")
+    return convert_lpips_state_dict(vgg_sd, lin_sd)
+
+
 def convert_lpips_state_dict(vgg_sd: Dict[str, np.ndarray],
                              lin_sd: Dict[str, np.ndarray]) -> Dict:
     """vgg_sd: torchvision vgg16.features state dict (keys like

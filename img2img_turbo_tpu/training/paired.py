@@ -23,7 +23,8 @@ import jax
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler
-from img2img_turbo_tpu.models import clip_text, clip_vit
+from img2img_turbo_tpu.models import (clip_text, clip_vit,
+                                      discriminator as disc_mod)
 from img2img_turbo_tpu.pipelines.pix2pix import (GeneratorConfigs,
                                                  generate_deterministic)
 from img2img_turbo_tpu.training import losses as losses_mod
@@ -90,9 +91,12 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
                                       rng, remat=remat)
 
     def train_step(state, frozen, aux_frozen, batch, rng):
-        """state: {gen, gen_opt, disc, disc_opt, step};
+        """state: {gen, gen_opt, disc, disc_sn, disc_opt, step};
         frozen: {unet, vae}; aux_frozen: {text, lpips, clip, disc_backbone};
-        batch: conditioning [0,1], output [-1,1], input_ids (B,77)."""
+        batch: conditioning [0,1], output [-1,1], input_ids (B,77).
+        disc_sn carries the spectral-norm power-iteration vectors (torch
+        buffers equivalent): advanced once per discriminator forward,
+        never optimized."""
         c_t = batch["conditioning_pixel_values"]
         x_tgt = batch["output_pixel_values"]
         ids = batch["input_ids"]
@@ -124,10 +128,12 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
         metrics.update(parts)
 
         # ---- pass 2: generator GAN (fresh forward, updated gen) --------
+        sn = state["disc_sn"]
+
         def gan_g_loss(gen):
             pred = gen_forward(gen, frozen, c_t, caption_enc, r2)
             disc_params = {"backbone": aux_frozen["disc_backbone"],
-                           "heads": state["disc"]}
+                           "heads": state["disc"], "sn": sn}
             g = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
                 disc_params, clip_cfg, pred, smooth)
             return g, pred
@@ -137,34 +143,38 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
         updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
         gen = optax.apply_updates(gen, updates)
         metrics["loss_gan_g"] = loss_g
+        sn = disc_mod.sn_step(state["disc"], sn)
 
         # ---- pass 3: discriminator real ---------------------------------
         def d_real(heads):
             disc_params = {"backbone": aux_frozen["disc_backbone"],
-                           "heads": heads}
+                           "heads": heads, "sn": sn}
             return loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
                 disc_params, clip_cfg, x_tgt, smooth)
 
         loss_dr, grads = jax.value_and_grad(d_real)(state["disc"])
         updates, disc_opt = disc_tx.update(grads, state["disc_opt"],
                                            state["disc"])
+        sn = disc_mod.sn_step(state["disc"], sn)
         disc = optax.apply_updates(state["disc"], updates)
         metrics["loss_d_real"] = loss_dr
 
         # ---- pass 4: discriminator fake ---------------------------------
         def d_fake(heads):
             disc_params = {"backbone": aux_frozen["disc_backbone"],
-                           "heads": heads}
+                           "heads": heads, "sn": sn}
             return loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
                 disc_params, clip_cfg, pred2, smooth)
 
         loss_df, grads = jax.value_and_grad(d_fake)(disc)
         updates, disc_opt = disc_tx.update(grads, disc_opt, disc)
+        sn = disc_mod.sn_step(disc, sn)
         disc = optax.apply_updates(disc, updates)
         metrics["loss_d_fake"] = loss_df
 
         new_state = {"gen": gen, "gen_opt": gen_opt, "disc": disc,
-                     "disc_opt": disc_opt, "step": state["step"] + 1}
+                     "disc_sn": sn, "disc_opt": disc_opt,
+                     "step": state["step"] + 1}
         return new_state, metrics
 
     return train_step

@@ -89,15 +89,68 @@ def load_base_models(args, cfgs: GeneratorConfigs, key):
 
 
 def init_aux_models(args, key, clip_cfg, with_clipsim: bool):
-    """LPIPS + CLIP + discriminator backbone (random when offline; the
-    reference downloads pretrained — converters exist in the weights/
-    package for when files are present)."""
+    """LPIPS + CLIP + discriminator backbone/heads/spectral-norm state.
+
+    Pretrained ingestion (the reference's lpips.LPIPS(net='vgg') /
+    clip.load('ViT-B/32') downloads, train_pix2pix_turbo.py:64-78):
+    - --lpips_weights: torch file with an lpips.LPIPS(net='vgg')
+      state_dict (or {vgg features, lin heads} pair) -> vgg_lpips converter
+    - --clip_weights: OpenAI ViT-B-32.pt or HF CLIPModel state dict ->
+      clip_vit.convert_clip_state_dict; feeds BOTH the clip-sim loss and
+      the vision-aided discriminator backbone
+    Random init otherwise (offline smoke mode).
+    Returns (aux_frozen, disc_heads, disc_sn)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    disc_full = discriminator.init_discriminator(k1, clip_cfg)
+    clip_tree = None
+    if getattr(args, "clip_weights", ""):
+        from img2img_turbo_tpu.weights import torch_import as ti
+        sd = ti.load_torch_pickle(args.clip_weights)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        clip_tree = clip_vit.convert_clip_state_dict(sd, clip_cfg)
+    disc_full = discriminator.init_discriminator(
+        k1, clip_cfg,
+        backbone=(clip_tree["vision"] if clip_tree is not None else None))
+    if getattr(args, "lpips_weights", ""):
+        lpips_p = vgg_lpips.load_lpips_weights(args.lpips_weights)
+    else:
+        lpips_p = vgg_lpips.init_vgg_lpips(k2)
     aux = {
-        "lpips": vgg_lpips.init_vgg_lpips(k2),
+        "lpips": lpips_p,
         "disc_backbone": disc_full["backbone"],
     }
     if with_clipsim:
-        aux["clip"] = clip_vit.init_clip(k3, clip_cfg)
-    return aux, disc_full["heads"]
+        aux["clip"] = (clip_tree if clip_tree is not None
+                       else clip_vit.init_clip(k3, clip_cfg))
+    return aux, disc_full["heads"], disc_full["sn"]
+
+
+def init_inception(args, key):
+    """FID feature extractor: pretrained via --inception_weights
+    (torchvision inception_v3 state dict), random otherwise."""
+    from img2img_turbo_tpu.metrics import inception as inc_mod
+    if getattr(args, "inception_weights", ""):
+        from img2img_turbo_tpu.weights import torch_import as ti
+        sd = ti.load_torch_pickle(args.inception_weights)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return inc_mod.convert_inception_state_dict(sd)
+    return inc_mod.init_inception(key)
+
+
+class SmokeTokenizer:
+    """Offline-only word-hash tokenizer for smoke runs without a CLIP
+    vocab on disk (tests/docs training smokes). NOT semantically
+    meaningful — production runs must pass a real tokenizer directory."""
+
+    model_max_length = 77
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text):
+        words = (text if isinstance(text, str) else " ".join(text)).split()
+        ids = [(abs(hash(w)) % (self.vocab_size - 3)) + 1
+               for w in words][:75]
+        return np.asarray([[49406 % self.vocab_size] + ids
+                           + [0] * (76 - len(ids))], np.int32)

@@ -28,7 +28,7 @@ import jax
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler
-from img2img_turbo_tpu.models import clip_vit
+from img2img_turbo_tpu.models import clip_vit, discriminator as disc_mod
 from img2img_turbo_tpu.pipelines.cyclegan import forward_with_params
 from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
 from img2img_turbo_tpu.training import losses as losses_mod
@@ -106,8 +106,8 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
                                    direction, remat=remat)
 
     def train_step(state, frozen, aux_frozen, batch, rng):
-        """state: {gen, gen_opt, disc: {a, b}, disc_opt, step};
-        aux_frozen: {lpips, disc_backbone};
+        """state: {gen, gen_opt, disc: {a, b}, disc_sn: {a, b}, disc_opt,
+        step}; aux_frozen: {lpips, disc_backbone};
         batch: pixel_values_src/tgt in [-1,1] + emb_a2b / emb_b2a
         (B, 77, D) fixed caption embeddings."""
         img_a = batch["pixel_values_src"]
@@ -118,8 +118,14 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
         metrics = {}
         lp = aux_frozen["lpips"]
 
-        def disc_params(heads):
-            return {"backbone": aux_frozen["disc_backbone"], "heads": heads}
+        sn = state["disc_sn"]
+
+        def disc_params(heads, u):
+            return {"backbone": aux_frozen["disc_backbone"], "heads": heads,
+                    "sn": u}
+
+        def sn_advance(disc_heads, u):
+            return {k: disc_mod.sn_step(disc_heads[k], u[k]) for k in u}
 
         # ---- 1. cycle ----------------------------------------------------
         def cycle_loss(gen):
@@ -147,9 +153,11 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
             fake_a = fwd(gen, frozen, img_b, emb_b2a, rngs[4], "b2a")
             fake_b = fwd(gen, frozen, img_a, emb_a2b, rngs[5], "a2b")
             ga = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
-                disc_params(state["disc"]["a"]), clip_cfg, fake_b, smooth)
+                disc_params(state["disc"]["a"], sn["a"]), clip_cfg, fake_b,
+                smooth)
             gb = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
-                disc_params(state["disc"]["b"]), clip_cfg, fake_a, smooth)
+                disc_params(state["disc"]["b"], sn["b"]), clip_cfg, fake_a,
+                smooth)
             return ga + gb, (fake_a, fake_b, ga, gb)
 
         (loss_g, (fake_a, fake_b, ga, gb)), grads = jax.value_and_grad(
@@ -157,6 +165,7 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
         updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
         gen = optax.apply_updates(gen, updates)
         metrics["gan_a"], metrics["gan_b"] = ga, gb
+        sn = sn_advance(state["disc"], sn)
 
         # ---- 3. identity -------------------------------------------------
         def idt_loss(gen):
@@ -182,32 +191,35 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
 
         def d_fake(heads):
             da = loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
-                disc_params(heads["a"]), clip_cfg, fake_b, smooth)
+                disc_params(heads["a"], sn["a"]), clip_cfg, fake_b, smooth)
             db = loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
-                disc_params(heads["b"]), clip_cfg, fake_a, smooth)
+                disc_params(heads["b"], sn["b"]), clip_cfg, fake_a, smooth)
             return (da + db) * 0.5
 
         loss_df, grads = jax.value_and_grad(d_fake)(state["disc"])
         updates, disc_opt = disc_tx.update(grads, state["disc_opt"],
                                            state["disc"])
+        sn = sn_advance(state["disc"], sn)
         disc = optax.apply_updates(state["disc"], updates)
         metrics["disc_fake"] = loss_df
 
         # ---- 5. discriminator real --------------------------------------
         def d_real(heads):
             da = loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
-                disc_params(heads["a"]), clip_cfg, img_b, smooth)
+                disc_params(heads["a"], sn["a"]), clip_cfg, img_b, smooth)
             db = loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
-                disc_params(heads["b"]), clip_cfg, img_a, smooth)
+                disc_params(heads["b"], sn["b"]), clip_cfg, img_a, smooth)
             return (da + db) * 0.5
 
         loss_dr, grads = jax.value_and_grad(d_real)(disc)
         updates, disc_opt = disc_tx.update(grads, disc_opt, disc)
+        sn = sn_advance(disc, sn)
         disc = optax.apply_updates(disc, updates)
         metrics["disc_real"] = loss_dr
 
         new_state = {"gen": gen, "gen_opt": gen_opt, "disc": disc,
-                     "disc_opt": disc_opt, "step": state["step"] + 1}
+                     "disc_sn": sn, "disc_opt": disc_opt,
+                     "step": state["step"] + 1}
         return new_state, metrics
 
     return train_step

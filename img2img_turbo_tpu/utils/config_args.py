@@ -37,6 +37,17 @@ def _add_common_optim(parser):
                         help="model-axis size of the device mesh")
     parser.add_argument("--tiny_model", action="store_true",
                         help="tiny configs for smoke tests (no pretrained)")
+    parser.add_argument("--lpips_weights", type=str, default="",
+                        help="torch lpips.LPIPS(net='vgg') state-dict file "
+                             "(reference downloads it; random LPIPS net "
+                             "if omitted)")
+    parser.add_argument("--clip_weights", type=str, default="",
+                        help="OpenAI ViT-B-32.pt or HF CLIPModel state-dict "
+                             "file; backs the vision-aided discriminator "
+                             "and the CLIP-sim loss")
+    parser.add_argument("--inception_weights", type=str, default="",
+                        help="torchvision inception_v3 state-dict file for "
+                             "FID eval")
 
 
 def parse_args_paired_training(input_args=None):

