@@ -20,11 +20,13 @@ from img2img_turbo_tpu.metrics import inception as inc
 
 
 def clean_resize_299(img_u8: np.ndarray) -> np.ndarray:
-    """clean-fid resize: PIL bicubic per channel to 299x299 on float."""
+    """clean-fid resize: PIL bicubic per channel to 299x299 in float32
+    'F' mode — no uint8 re-quantization of the filter output (clean-fid's
+    build_resizer "clean" protocol)."""
     from PIL import Image
     out = np.empty((299, 299, 3), np.float32)
     for c in range(3):
-        ch = Image.fromarray(img_u8[..., c])
+        ch = Image.fromarray(img_u8[..., c].astype(np.float32), mode="F")
         out[..., c] = np.asarray(
             ch.resize((299, 299), Image.BICUBIC), np.float32)
     return out / 255.0

@@ -302,28 +302,24 @@ class Pix2PixTurbo:
 
     def save_model(self, outf: str):
         """Write the reference pix2pix pkl schema (pix2pix_turbo.py:221-229)
-        so checkpoints interchange with the PyTorch implementation."""
-        import torch
-        assert self.base is not None and self.lora is not None
-        names_unet = lora_mod.module_names(self.base["unet"], "unet")
-        names_vae = lora_mod.module_names(self.base["vae"], "vae")
+        so checkpoints interchange with the PyTorch implementation.
 
-        def lora_sd(lora, names):
+        Key layouts match the peft-wrapped reference modules exactly (its
+        loader overlays onto `model.state_dict()` then strict-loads,
+        pix2pix_turbo.py:117-129): UNet adapter name "default", VAE adapter
+        name "vae_skip", and the LoRA-targeted skip convs' base weights
+        under `.base_layer.` (peft wraps targeted convs)."""
+        import torch
+        from img2img_turbo_tpu.weights.torch_import import export_lora_weights
+        assert self.base is not None and self.lora is not None
+
+        def lora_sd(lora, adapter):
             out = {}
             for name, entry in lora["modules"].items():
-                a, b = np.asarray(entry["a"]), np.asarray(entry["b"])
-                if a.ndim == 4:
-                    ta = a.transpose(3, 2, 0, 1)  # (r, in, kh, kw)
-                    tb = b.T[:, :, None, None]    # (out, r, 1, 1)
-                else:
-                    ta, tb = a.T, b.T
-                out[f"{name}.lora_A.default.weight"] = torch.from_numpy(
-                    np.ascontiguousarray(ta))
-                out[f"{name}.lora_B.default.weight"] = torch.from_numpy(
-                    np.ascontiguousarray(tb))
-            return out
+                out.update(export_lora_weights(name, entry, adapter))
+            return {k: torch.from_numpy(v) for k, v in out.items()}
 
-        sd_unet = lora_sd(self.lora["unet"], names_unet)
+        sd_unet = lora_sd(self.lora["unet"], "default")
         # conv_in (trained fully; reference filter "conv_in" in k)
         conv_in = self.base["unet"]["conv_in"]
         if "pretrained" in conv_in:
@@ -339,10 +335,11 @@ class Pix2PixTurbo:
             sd_unet["conv_in.bias"] = torch.from_numpy(
                 np.asarray(conv_in["bias"]).copy())
 
-        sd_vae = lora_sd(self.lora["vae"], names_vae)
+        sd_vae = lora_sd(self.lora["vae"], "vae_skip")
         for i, conv in enumerate(self.base["vae"]["decoder"]["skip_convs"]):
-            sd_vae[f"decoder.skip_conv_{i + 1}.weight"] = torch.from_numpy(
-                np.asarray(conv["kernel"]).transpose(3, 2, 0, 1).copy())
+            sd_vae[f"decoder.skip_conv_{i + 1}.base_layer.weight"] = (
+                torch.from_numpy(np.asarray(conv["kernel"])
+                                 .transpose(3, 2, 0, 1).copy()))
 
         torch.save({
             "unet_lora_target_modules": list(lora_mod.PIX2PIX_UNET_TARGETS),

@@ -67,53 +67,35 @@ def export_cyclegan_pkl(outf: str, gen: Dict, meta, adapter_targets: Dict,
                         vae_targets, frozen: Dict) -> None:
     """Write the reference CycleGAN pkl schema
     (train_cyclegan_turbo.py:293-307): 3 unet adapter state dicts (peft
-    style, no adapter name in keys), VAE enc/dec full state dicts under
-    "vae."/"vae_b2a." prefixes."""
+    style, no adapter name in keys), and sd_vae_enc/sd_vae_dec as the FULL
+    `VAE_encode`/`VAE_decode` state dicts — both vaes under "vae." /
+    "vae_b2a." prefixes, every targeted module peft-wrapped (base weights
+    under `.base_layer.`, lora keys carrying the `vae_skip` adapter name) —
+    so the reference's strict `load_state_dict` (cyclegan_turbo.py:186-190)
+    accepts them key-for-key."""
     import torch
+    from img2img_turbo_tpu.weights.torch_import import (
+        export_lora_weights, export_vae_state_dict, peft_wrap_state_dict)
 
     def lora_sd(modules):
         out = {}
         for name, entry in modules.items():
-            a, b = np.asarray(entry["a"]), np.asarray(entry["b"])
-            if a.ndim == 4:
-                ta = a.transpose(3, 2, 0, 1)
-                tb = b.T[:, :, None, None]
-            else:
-                ta, tb = a.T, b.T
-            out[f"{name}.lora_A.weight"] = torch.from_numpy(
-                np.ascontiguousarray(ta))
-            out[f"{name}.lora_B.weight"] = torch.from_numpy(
-                np.ascontiguousarray(tb))
-        return out
+            out.update(export_lora_weights(name, entry))
+        return {k: torch.from_numpy(v) for k, v in out.items()}
 
-    def vae_full_sd(prefix, lora_modules, skip_convs, base):
-        """Full VAE state dict incl. lora + base weights, torch layout."""
-        out = lora_sd(lora_modules)
-        out = {f"{prefix}{k}": v for k, v in out.items()}
-        from img2img_turbo_tpu.lora import iter_modules, vae_torch_name
+    def vae_full_sd(prefix, lora, skip_convs, base):
+        """Wrapped AutoencoderKL state dict under `prefix` (torch layout)."""
         base = dict(base)
         base["decoder"] = dict(base["decoder"])
         base["decoder"]["skip_convs"] = skip_convs
-        for path, mod in iter_modules(base):
-            name = vae_torch_name(path)
-            if name is None:
-                continue
-            k = np.asarray(mod["kernel"])
-            if k.ndim == 4:
-                kt = k.transpose(3, 2, 0, 1)
-            else:
-                kt = k.T
-            out[f"{prefix}{name}.weight"] = torch.from_numpy(
-                np.ascontiguousarray(kt))
-            if "bias" in mod:
-                out[f"{prefix}{name}.bias"] = torch.from_numpy(
-                    np.asarray(mod["bias"]).copy())
-        return out
+        sd = export_vae_state_dict(base)
+        sd = peft_wrap_state_dict(sd, lora, vae_targets, adapter="vae_skip")
+        return {f"{prefix}{k}": torch.from_numpy(v) for k, v in sd.items()}
 
     sd_vae = {}
-    sd_vae.update(vae_full_sd("vae.", gen["vae_a2b_lora"],
+    sd_vae.update(vae_full_sd("vae.", {"modules": gen["vae_a2b_lora"]},
                               gen["vae_a2b_skip"], frozen["vae_a2b"]))
-    sd_vae.update(vae_full_sd("vae_b2a.", gen["vae_b2a_lora"],
+    sd_vae.update(vae_full_sd("vae_b2a.", {"modules": gen["vae_b2a_lora"]},
                               gen["vae_b2a_skip"], frozen["vae_b2a"]))
 
     torch.save({

@@ -213,6 +213,131 @@ def convert_unet_state_dict(sd: Mapping[str, Array], cfg: UNetConfig):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Inverse converters: JAX pytree -> torch/diffusers state dict (numpy, torch
+# layouts). Used for reference-loadable checkpoint export; bijection with the
+# convert_* functions is pinned by tests/test_weights.py.
+# ---------------------------------------------------------------------------
+
+
+def _inv_lin(out: Dict[str, Array], prefix: str, mod) -> None:
+    out[prefix + ".weight"] = np.ascontiguousarray(
+        np.asarray(mod["kernel"]).T)
+    if "bias" in mod:
+        out[prefix + ".bias"] = np.asarray(mod["bias"]).copy()
+
+
+def _inv_conv(out: Dict[str, Array], prefix: str, mod) -> None:
+    out[prefix + ".weight"] = np.ascontiguousarray(
+        np.asarray(mod["kernel"]).transpose(3, 2, 0, 1))
+    if "bias" in mod:
+        out[prefix + ".bias"] = np.asarray(mod["bias"]).copy()
+
+
+def _inv_norm(out: Dict[str, Array], prefix: str, mod) -> None:
+    out[prefix + ".weight"] = np.asarray(mod["scale"]).copy()
+    out[prefix + ".bias"] = np.asarray(mod["bias"]).copy()
+
+
+def _inv_resnet(out, prefix: str, p) -> None:
+    _inv_norm(out, prefix + ".norm1", p["norm1"])
+    _inv_conv(out, prefix + ".conv1", p["conv1"])
+    _inv_norm(out, prefix + ".norm2", p["norm2"])
+    _inv_conv(out, prefix + ".conv2", p["conv2"])
+    if "time_emb_proj" in p:
+        _inv_lin(out, prefix + ".time_emb_proj", p["time_emb_proj"])
+    if "conv_shortcut" in p:
+        _inv_conv(out, prefix + ".conv_shortcut", p["conv_shortcut"])
+
+
+def _inv_vae_mid(out, prefix: str, p) -> None:
+    ap = prefix + ".attentions.0"
+    _inv_resnet(out, prefix + ".resnets.0", p["res1"])
+    _inv_norm(out, ap + ".group_norm", p["attn"]["norm"])
+    _inv_lin(out, ap + ".to_q", p["attn"]["to_q"])
+    _inv_lin(out, ap + ".to_k", p["attn"]["to_k"])
+    _inv_lin(out, ap + ".to_v", p["attn"]["to_v"])
+    _inv_lin(out, ap + ".to_out.0", p["attn"]["to_out"])
+    _inv_resnet(out, prefix + ".resnets.1", p["res2"])
+
+
+def export_vae_state_dict(params) -> Dict[str, Array]:
+    """Full diffusers `AutoencoderKL` state dict (incl. GroupNorms, quant
+    convs and the img2img-turbo skip convs) from a VAE param tree — the
+    exact inverse of `convert_vae_state_dict`."""
+    out: Dict[str, Array] = {}
+    enc = params["encoder"]
+    _inv_conv(out, "encoder.conv_in", enc["conv_in"])
+    for i, block in enumerate(enc["down"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(out, f"encoder.down_blocks.{i}.resnets.{j}", r)
+        if "downsample" in block:
+            _inv_conv(out, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                      block["downsample"])
+    _inv_vae_mid(out, "encoder.mid_block", enc["mid"])
+    _inv_norm(out, "encoder.conv_norm_out", enc["norm_out"])
+    _inv_conv(out, "encoder.conv_out", enc["conv_out"])
+
+    dec = params["decoder"]
+    _inv_conv(out, "decoder.conv_in", dec["conv_in"])
+    _inv_vae_mid(out, "decoder.mid_block", dec["mid"])
+    for i, block in enumerate(dec["up"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(out, f"decoder.up_blocks.{i}.resnets.{j}", r)
+        if "upsample" in block:
+            _inv_conv(out, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                      block["upsample"])
+    _inv_norm(out, "decoder.conv_norm_out", dec["norm_out"])
+    _inv_conv(out, "decoder.conv_out", dec["conv_out"])
+    if "skip_convs" in dec:
+        for i, conv in enumerate(dec["skip_convs"]):
+            _inv_conv(out, f"decoder.skip_conv_{i + 1}", conv)
+
+    _inv_conv(out, "quant_conv", params["quant_conv"])
+    _inv_conv(out, "post_quant_conv", params["post_quant_conv"])
+    return out
+
+
+def export_lora_weights(name: str, entry, adapter=None) -> Dict[str, Array]:
+    """peft-layout lora_A/lora_B torch tensors for one adapted module.
+    Conv: A (r, in, kh, kw), B (out, r, 1, 1); Linear: A (r, in), B (out, r).
+    Key schema `<module>.lora_{A,B}[.<adapter>].weight` matches what
+    `vae.add_adapter(..., adapter_name=...)` produces (peft's LoraLayer)."""
+    a = np.asarray(entry["a"])
+    b = np.asarray(entry["b"])
+    if a.ndim == 4:
+        ta = np.ascontiguousarray(a.transpose(3, 2, 0, 1))
+        tb = np.ascontiguousarray(b.T[:, :, None, None])
+    else:
+        ta = np.ascontiguousarray(a.T)
+        tb = np.ascontiguousarray(b.T)
+    mid = f".{adapter}" if adapter else ""
+    return {f"{name}.lora_A{mid}.weight": ta,
+            f"{name}.lora_B{mid}.weight": tb}
+
+
+def peft_wrap_state_dict(sd: Dict[str, Array], lora,
+                         targets, adapter: str) -> Dict[str, Array]:
+    """Rewrite a plain diffusers state dict into the key layout of the same
+    model after `add_adapter(LoraConfig(target_modules=targets),
+    adapter_name=adapter)`: targeted modules' base params move under
+    `.base_layer.`, and each adapted module gains
+    `lora_{A,B}.<adapter>.weight` entries (peft tuner injection; reference
+    loads these with strict `load_state_dict`, cyclegan_turbo.py:186-190)."""
+    from img2img_turbo_tpu.lora import matches_target
+
+    out: Dict[str, Array] = {}
+    for k, v in sd.items():
+        name, field = k.rsplit(".", 1)
+        if matches_target(name, targets):
+            out[f"{name}.base_layer.{field}"] = v
+        else:
+            out[k] = v
+    for name, entry in lora["modules"].items():
+        out.update(export_lora_weights(name, entry, adapter))
+    return out
+
+
 def _vae_mid_from_sd(sd, prefix: str):
     ap = prefix + ".attentions.0"
     # diffusers >=0.17 stores VAE attention as linear to_q/to_k/to_v; older

@@ -114,6 +114,37 @@ class TestCheckpointRoundTrip:
         assert all("lora" in k or "conv_in" in k
                    for k in ckpt["state_dict_unet"])
         assert all("lora" in k or "skip" in k for k in ckpt["state_dict_vae"])
+        # reference-loadable key layout: UNet adapter "default", VAE adapter
+        # "vae_skip", peft-wrapped skip convs (pix2pix_turbo.py:117-129)
+        for k in ckpt["state_dict_unet"]:
+            if ".lora_" in k:
+                assert ".lora_A.default.weight" in k \
+                    or ".lora_B.default.weight" in k, k
+        for k in ckpt["state_dict_vae"]:
+            if ".lora_" in k:
+                assert ".lora_A.vae_skip.weight" in k \
+                    or ".lora_B.vae_skip.weight" in k, k
+        for i in range(4):
+            assert f"decoder.skip_conv_{i + 1}.base_layer.weight" \
+                in ckpt["state_dict_vae"]
+
+    def test_vae_sd_strict_loads_into_peft_wrapped_reference(
+            self, pipe, tmp_path):
+        """Simulate the reference loader (overlay onto state_dict then
+        strict load, pix2pix_turbo.py:121-125) with real torch + peft."""
+        import torch
+        from img2img_turbo_tpu.weights import torch_import as ti
+        from tests.test_weights import _peft_vae_skeleton
+        path = str(tmp_path / "ckpt.pkl")
+        pipe.save_model(path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        plain = ti.export_vae_state_dict(pipe.base["vae"])
+        model = _peft_vae_skeleton(plain, rank=ckpt["rank_vae"])
+        sd = model.state_dict()
+        for k, v in ckpt["state_dict_vae"].items():
+            assert k in sd, f"key {k} unknown to the wrapped reference VAE"
+            sd[k] = v
+        model.load_state_dict(sd, strict=True)
 
         # reload LoRA from the pkl and verify merged kernels match
         sd_np = {k: v.numpy() for k, v in ckpt["state_dict_unet"].items()}

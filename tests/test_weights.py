@@ -273,3 +273,132 @@ class TestCLIPViTConverter:
         # HF stores class_embedding possibly (1,1,D)-shaped in old exports;
         # both trees must be identical here
         _tree_equal(tree_hf, tree_oa)
+
+
+# ---------------------------------------------------------------------------
+# Reference checkpoint interchange: simulate the PyTorch reference's loaders
+# with REAL torch modules + REAL peft injection, then strict-load our
+# exported state dicts. This is the strongest available stand-in for loading
+# into the actual reference (diffusers is not installed; the module-name
+# schema below is exactly AutoencoderKL's, pinned by the converters).
+# ---------------------------------------------------------------------------
+
+
+def _torch_skeleton(sd_plain):
+    """Build a torch module tree whose named parameters match a plain
+    diffusers-style state dict: 4-D weight -> Conv2d, 2-D -> Linear,
+    1-D -> GroupNorm."""
+    import torch
+
+    by_mod = {}
+    for k, v in sd_plain.items():
+        name, field = k.rsplit(".", 1)
+        by_mod.setdefault(name, {})[field] = v
+    root = torch.nn.Module()
+    for name, fields in by_mod.items():
+        w = np.asarray(fields["weight"])
+        if w.ndim == 4:
+            m = torch.nn.Conv2d(w.shape[1], w.shape[0], w.shape[2:],
+                                bias="bias" in fields)
+        elif w.ndim == 2:
+            m = torch.nn.Linear(w.shape[1], w.shape[0],
+                                bias="bias" in fields)
+        else:
+            m = torch.nn.GroupNorm(1, w.shape[0])
+        parent = root
+        parts = name.split(".")
+        for p in parts[:-1]:
+            child = parent._modules.get(p)
+            if child is None:
+                child = torch.nn.Module()
+                parent.add_module(p, child)
+            parent = child
+        parent.add_module(parts[-1], m)
+    return root
+
+
+def _peft_vae_skeleton(sd_plain, rank):
+    """Plain-VAE skeleton + the reference's vae_skip adapter injection
+    (cyclegan_turbo.py:101-103 / pix2pix_turbo.py:139-140)."""
+    from peft import LoraConfig, inject_adapter_in_model
+    model = _torch_skeleton(sd_plain)
+    cfg = LoraConfig(r=rank, init_lora_weights="gaussian",
+                     target_modules=list(lora_mod.CYCLEGAN_VAE_TARGETS))
+    return inject_adapter_in_model(cfg, model, adapter_name="vae_skip")
+
+
+class TestReferenceInterchange:
+    @pytest.fixture(scope="class")
+    def vae_setup(self):
+        key = jax.random.PRNGKey(0)
+        params = vae_mod.init_vae(key, configs.TINY_VAE,
+                                  with_skip_convs=True, skip_init=1e-5)
+        spec = lora_mod.LoRASpec(4, lora_mod.CYCLEGAN_VAE_TARGETS)
+        lora = lora_mod.init_lora(jax.random.PRNGKey(1), params, spec, "vae")
+        return params, lora
+
+    def test_export_vae_bijection(self, vae_setup):
+        params, _ = vae_setup
+        sd = ti.export_vae_state_dict(params)
+        back = ti.convert_vae_state_dict(sd, configs.TINY_VAE)
+        _tree_equal(params, back)
+
+    def test_wrapped_vae_strict_loads_into_real_peft_model(self, vae_setup):
+        """The key set our exporter emits must equal the key set of a real
+        peft-wrapped VAE module tree — both directions (strict load)."""
+        import torch
+        params, lora = vae_setup
+        plain = ti.export_vae_state_dict(params)
+        wrapped = ti.peft_wrap_state_dict(
+            plain, lora, lora_mod.CYCLEGAN_VAE_TARGETS, adapter="vae_skip")
+        model = _peft_vae_skeleton(plain, rank=4)
+        model.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in wrapped.items()},
+            strict=True)
+
+    def test_cyclegan_pkl_reference_loadable(self, vae_setup, tmp_path):
+        """Full export_cyclegan_pkl: sd_vae_enc must strict-load into a
+        VAE_encode-equivalent module (vae + vae_b2a children, both
+        peft-wrapped), exactly like cyclegan_turbo.py:186-190."""
+        import torch
+        from img2img_turbo_tpu.pipelines import cyclegan as cg
+        from img2img_turbo_tpu.training import checkpoint as ckpt_mod
+        from img2img_turbo_tpu.training import unpaired
+
+        key = jax.random.PRNGKey(0)
+        unet_p = unet_mod.init_unet(jax.random.PRNGKey(2), configs.TINY_UNET)
+        vae_a2b, vae_lora = vae_setup
+        vae_b2a = jax.tree_util.tree_map(jnp.copy, vae_a2b)
+        adapters = cg.cyclegan_unet_adapters(unet_p, 4, jax.random.PRNGKey(3))
+        gen, frozen, meta = unpaired.split_trainable(
+            unet_p, vae_a2b, vae_b2a, adapters, vae_lora, vae_lora)
+        targets = {k: tuple(sorted(v["modules"])) for k, v in adapters.items()}
+        outf = str(tmp_path / "cyclegan.pkl")
+        ckpt_mod.export_cyclegan_pkl(
+            outf, jax.device_get(gen), meta, targets,
+            lora_mod.CYCLEGAN_VAE_TARGETS, jax.device_get(frozen))
+
+        ckpt = torch.load(outf, map_location="cpu", weights_only=False)
+        # VAE_encode holds .vae and .vae_b2a (cyclegan_turbo.py:15-18)
+        plain = ti.export_vae_state_dict(
+            dict(vae_a2b, decoder=dict(vae_a2b["decoder"])))
+        vae_enc = torch.nn.Module()
+        vae_enc.add_module("vae", _peft_vae_skeleton(plain, rank=4))
+        vae_enc.add_module("vae_b2a", _peft_vae_skeleton(plain, rank=4))
+        vae_enc.load_state_dict(ckpt["sd_vae_enc"], strict=True)
+        vae_dec = torch.nn.Module()
+        vae_dec.add_module("vae", _peft_vae_skeleton(plain, rank=4))
+        vae_dec.add_module("vae_b2a", _peft_vae_skeleton(plain, rank=4))
+        vae_dec.load_state_dict(ckpt["sd_vae_dec"], strict=True)
+
+        # unet adapter sd keys: peft get_peft_model_state_dict layout
+        # (no adapter name), loadable by name_sd mapping at
+        # cyclegan_turbo.py:170-181
+        for sd_key, ad in (("sd_encoder", "default_encoder"),
+                           ("sd_decoder", "default_decoder"),
+                           ("sd_other", "default_others")):
+            assert ckpt[sd_key], sd_key
+            for k in ckpt[sd_key]:
+                assert k.endswith((".lora_A.weight", ".lora_B.weight")), k
+                name = k.rsplit(".lora_", 1)[0]
+                assert name in set(targets[ad]), (ad, name)
