@@ -100,7 +100,8 @@ def main(args):
         gan_loss_type=args.gan_loss_type)
     step_fn = jax.jit(unpaired.make_unpaired_train_step(
         cfgs, clip_cfg, loss_cfg, meta, gen_tx, disc_tx,
-        remat=args.gradient_checkpointing or not args.tiny_model),
+        remat=args.gradient_checkpointing or not args.tiny_model,
+        accum_steps=args.gradient_accumulation_steps),
         donate_argnums=(0,))
 
     state = mesh_mod.replicate(state, mesh)

@@ -95,7 +95,8 @@ def main(args):
         gan_loss_type=args.gan_loss_type)
     step_fn = jax.jit(paired.make_paired_train_step(
         cfgs, clip_cfg, loss_cfg, meta, gen_tx, disc_tx,
-        remat=args.gradient_checkpointing or not args.tiny_model),
+        remat=args.gradient_checkpointing or not args.tiny_model,
+        accum_steps=args.gradient_accumulation_steps),
         donate_argnums=(0,))
     eval_fn = paired.make_eval_step(cfgs, clip_cfg, meta)
 

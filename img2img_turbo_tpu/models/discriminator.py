@@ -159,8 +159,10 @@ def discriminator_logits(params, cfg: clip_vit.CLIPViTConfig, images
     [(B, g', g', 1), (B, g', g', 1), (B, 1)]."""
     x = images.astype(jnp.float32) * 0.5 + 0.5
     if x.shape[1] != cfg.image_size or x.shape[2] != cfg.image_size:
-        x = jax.image.resize(
-            x, (x.shape[0], cfg.image_size, cfg.image_size, 3), "bicubic")
+        # vision_aided_loss resizes with torch F.interpolate(bicubic):
+        # a=-0.75 cubic, no antialias — exact-parity separable matmul resize
+        from img2img_turbo_tpu.ops.image import resize_torch
+        x = resize_torch(x, cfg.image_size, cfg.image_size, "bicubic")
     x = (x - jnp.asarray(clip_vit.CLIP_MEAN)) / jnp.asarray(clip_vit.CLIP_STD)
     # frozen backbone: no grads flow into it
     backbone = jax.lax.stop_gradient(params["backbone"])

@@ -275,5 +275,19 @@ def upsample_nearest_2x(x):
     return x
 
 
+def upsample_nearest_to(x, size):
+    """Nearest-neighbor upsample to an exact (H, W) with torch
+    `F.interpolate(mode="nearest")` index semantics — source index
+    floor(i * in / out) — which differ from jax.image.resize's half-pixel
+    centers on non-integer scale factors (diffusers Upsample2D passes
+    output_size for odd skip shapes; unet_2d_condition.py forward_upsample_size
+    path)."""
+    th, tw = size
+    b, h, w, c = x.shape
+    rows = jnp.arange(th) * h // th
+    cols = jnp.arange(tw) * w // tw
+    return x[:, rows][:, :, cols]
+
+
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))

@@ -254,10 +254,9 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
             b, h, w, c = sample.shape
             if upsample_size is not None and upsample_size != (2 * h, 2 * w):
                 # odd skip sizes: upsample to the next level's exact size
-                # (diffusers forward_upsample_size semantics — nearest
+                # (diffusers forward_upsample_size semantics — torch-nearest
                 # interpolation to the stored residual's spatial dims)
-                up = jax.image.resize(
-                    sample, (b,) + upsample_size + (c,), "nearest")
+                up = L.upsample_nearest_to(sample, upsample_size)
             else:
                 up = L.upsample_nearest_2x(sample)
             sample = L.conv2d(block["upsample"], up)

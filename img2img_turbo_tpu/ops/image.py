@@ -40,6 +40,59 @@ def unit_to_uint8(x):
 
 
 # ---------------------------------------------------------------------------
+# torch-parity separable resize (device, MXU-friendly matmuls)
+# ---------------------------------------------------------------------------
+
+
+def _torch_resize_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
+    """(out, in) interpolation matrix reproducing torch
+    `F.interpolate(mode=..., align_corners=False)` exactly: half-pixel
+    source centers, NO antialias (taps stay fixed-width on downscale),
+    border handled by index clamping. mode: "bilinear" | "bicubic"
+    (cubic convolution a=-0.75, torch/OpenCV convention — note PIL and
+    jax.image use a=-0.5, which does NOT match)."""
+    scale = in_size / out_size
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    W = np.zeros((out_size, in_size), np.float64)
+    if mode == "bilinear":
+        base = np.floor(centers).astype(np.int64)
+        frac = centers - base
+        for tap, wgt in ((base, 1.0 - frac), (base + 1, frac)):
+            np.add.at(W, (np.arange(out_size), np.clip(tap, 0, in_size - 1)),
+                      wgt)
+    elif mode == "bicubic":
+        a = -0.75
+
+        def k(t):
+            t = np.abs(t)
+            return np.where(
+                t <= 1.0, ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+                np.where(t < 2.0, (((t - 5.0) * t + 8.0) * t - 4.0) * a, 0.0))
+
+        base = np.floor(centers).astype(np.int64)
+        for j in range(-1, 3):
+            tap = base + j
+            wgt = k(centers - tap)
+            np.add.at(W, (np.arange(out_size), np.clip(tap, 0, in_size - 1)),
+                      wgt)
+    else:
+        raise ValueError(mode)
+    return W.astype(np.float32)
+
+
+def resize_torch(x, height: int, width: int, mode: str = "bicubic"):
+    """NHWC resize with exact torch F.interpolate(align_corners=False)
+    numerics as two dense matmuls (static-shape, rides the MXU). Used where
+    the reference resizes activations with torch: vision_aided discriminator
+    preprocessing and the CLIP-sim loss."""
+    b, h, w, c = x.shape
+    wh = jnp.asarray(_torch_resize_matrix(h, height, mode), x.dtype)
+    ww = jnp.asarray(_torch_resize_matrix(w, width, mode), x.dtype)
+    y = jnp.einsum("Oh,bhwc->bOwc", wh, x)
+    return jnp.einsum("Ww,bhwc->bhWc", ww, y)
+
+
+# ---------------------------------------------------------------------------
 # resize / crop (device)
 # ---------------------------------------------------------------------------
 

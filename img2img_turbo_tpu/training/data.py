@@ -189,13 +189,14 @@ def prefetch(loader: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
 
 
 def accumulate_batches(loader: Iterator[Dict], k: int) -> Iterator[Dict]:
-    """Gradient accumulation as batch concatenation.
+    """Concatenate k micro-batches into one logical batch (host side).
 
-    All losses here are batch means and every optimizer step consumes the
-    whole accumulated batch, so concatenating k micro-batches before one
-    fused train step is numerically identical to the reference's
-    `accelerator.accumulate` loop (k backward passes then one step) —
-    SURVEY.md §2c. Memory scales with k; remat keeps activations bounded.
+    Pairs with `accum_steps=k` on the train-step makers: the fused step
+    re-splits the logical batch and lax.scans per-micro-batch gradients at
+    constant device activation memory (training/accum.py), the TPU
+    equivalent of `accelerator.accumulate` (SURVEY.md §2c). All losses are
+    batch means over equal micro-batches, so the averaged gradient equals
+    the big-batch gradient.
     """
     if k <= 1:
         yield from loader

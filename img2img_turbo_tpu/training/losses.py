@@ -54,9 +54,12 @@ def clipsim_loss(clip_params, clip_cfg: clip_vit.CLIPViTConfig, pred,
                  input_ids):
     """1 - clipsim/100 on bilinear-224 renormed images
     (train_pix2pix_turbo.py:181-187)."""
-    x = jax.image.resize(
-        pred, (pred.shape[0], clip_cfg.image_size, clip_cfg.image_size, 3),
-        "bilinear")
+    # torch F.interpolate(bilinear, align_corners=False) does NOT antialias;
+    # exact-parity separable matmul resize (reference
+    # train_pix2pix_turbo.py:183)
+    from img2img_turbo_tpu.ops.image import resize_torch
+    x = resize_torch(pred, clip_cfg.image_size, clip_cfg.image_size,
+                     "bilinear")
     sim = clip_vit.clip_similarity(clip_params, clip_cfg, x, input_ids)
     return jnp.mean(1.0 - sim / 100.0)
 

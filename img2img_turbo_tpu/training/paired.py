@@ -20,6 +20,7 @@ import dataclasses
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler
@@ -27,6 +28,7 @@ from img2img_turbo_tpu.models import (clip_text, clip_vit,
                                       discriminator as disc_mod)
 from img2img_turbo_tpu.pipelines.pix2pix import (GeneratorConfigs,
                                                  generate_deterministic)
+from img2img_turbo_tpu.training import accum as accum_mod
 from img2img_turbo_tpu.training import losses as losses_mod
 
 
@@ -81,7 +83,11 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
                            clip_cfg: clip_vit.CLIPViTConfig,
                            loss_cfg: losses_mod.PairedLossConfig,
                            meta: LoraMeta, gen_tx, disc_tx,
-                           remat: bool = True):
+                           remat: bool = True, accum_steps: int = 1):
+    """accum_steps > 1 runs each optimize pass as a lax.scan over k
+    micro-batches at constant activation memory (accelerator.accumulate
+    equivalent, train_pix2pix_turbo.py:170); the batch dim must be divisible
+    by accum_steps. accum_steps == 1 is the direct fast path."""
     alphas = scheduler.make_alphas_cumprod()
     smooth = loss_cfg.gan_loss_type.endswith("_s")
 
@@ -89,6 +95,18 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
         params = build_gen_params(gen, frozen, meta)
         return generate_deterministic(params, cfgs, alphas, c_t, caption_enc,
                                       rng, remat=remat)
+
+    def vgrad(loss_fn, params, data, rng):
+        """Uniform (loss, aux-with-leading-k-axis), grads — direct when
+        accum_steps == 1, scanned otherwise."""
+        if accum_steps == 1:
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, data, rng)
+            aux = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[None], aux)
+            return (loss, aux), g
+        return accum_mod.accumulated_value_and_grad(
+            loss_fn, params, data, rng, accum_steps)
 
     def train_step(state, frozen, aux_frozen, batch, rng):
         """state: {gen, gen_opt, disc, disc_sn, disc_opt, step};
@@ -104,55 +122,60 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
             aux_frozen["text"], cfgs.text, ids).astype(c_t.dtype)
         r1, r2 = jax.random.split(rng)
         metrics = {}
+        data = {"c_t": c_t, "x_tgt": x_tgt, "ids": ids,
+                "caption_enc": caption_enc}
 
         # ---- pass 1: reconstruction ------------------------------------
-        def recon_loss(gen):
-            pred = gen_forward(gen, frozen, c_t, caption_enc, r1)
-            l2 = loss_cfg.lambda_l2 * losses_mod.l2_loss(pred, x_tgt)
+        def recon_loss(gen, mb, key):
+            pred = gen_forward(gen, frozen, mb["c_t"], mb["caption_enc"],
+                               key)
+            l2 = loss_cfg.lambda_l2 * losses_mod.l2_loss(pred, mb["x_tgt"])
             lp = loss_cfg.lambda_lpips * losses_mod.lpips_loss(
-                aux_frozen["lpips"], pred, x_tgt)
+                aux_frozen["lpips"], pred, mb["x_tgt"])
             total = l2 + lp
             parts = {"loss_l2": l2, "loss_lpips": lp}
             if loss_cfg.lambda_clipsim > 0 and "clip" in aux_frozen:
                 cs = loss_cfg.lambda_clipsim * losses_mod.clipsim_loss(
-                    aux_frozen["clip"], clip_cfg, pred, ids)
+                    aux_frozen["clip"], clip_cfg, pred, mb["ids"])
                 total = total + cs
                 parts["loss_clipsim"] = cs
             return total, parts
 
-        (loss1, parts), grads = jax.value_and_grad(
-            recon_loss, has_aux=True)(state["gen"])
+        (loss1, parts), grads = vgrad(recon_loss, state["gen"], data, r1)
         updates, gen_opt = gen_tx.update(grads, state["gen_opt"],
                                          state["gen"])
         gen = optax.apply_updates(state["gen"], updates)
-        metrics.update(parts)
+        metrics.update({k: v.mean(0) for k, v in parts.items()})
 
         # ---- pass 2: generator GAN (fresh forward, updated gen) --------
         sn = state["disc_sn"]
 
-        def gan_g_loss(gen):
-            pred = gen_forward(gen, frozen, c_t, caption_enc, r2)
+        def gan_g_loss(gen, mb, key):
+            pred = gen_forward(gen, frozen, mb["c_t"], mb["caption_enc"],
+                               key)
             disc_params = {"backbone": aux_frozen["disc_backbone"],
                            "heads": state["disc"], "sn": sn}
             g = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
                 disc_params, clip_cfg, pred, smooth)
             return g, pred
 
-        (loss_g, pred2), grads = jax.value_and_grad(
-            gan_g_loss, has_aux=True)(gen)
+        (loss_g, pred2), grads = vgrad(gan_g_loss, gen, data, r2)
+        pred2 = accum_mod.merge_micro(pred2)
         updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
         gen = optax.apply_updates(gen, updates)
         metrics["loss_gan_g"] = loss_g
         sn = disc_mod.sn_step(state["disc"], sn)
 
         # ---- pass 3: discriminator real ---------------------------------
-        def d_real(heads):
+        def d_real(heads, mb, key):
             disc_params = {"backbone": aux_frozen["disc_backbone"],
                            "heads": heads, "sn": sn}
-            return loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
-                disc_params, clip_cfg, x_tgt, smooth)
+            loss = loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
+                disc_params, clip_cfg, mb["x_tgt"], smooth)
+            return loss, ()
 
-        loss_dr, grads = jax.value_and_grad(d_real)(state["disc"])
+        (loss_dr, _), grads = vgrad(d_real, state["disc"],
+                                    {"x_tgt": x_tgt}, rng)
         updates, disc_opt = disc_tx.update(grads, state["disc_opt"],
                                            state["disc"])
         sn = disc_mod.sn_step(state["disc"], sn)
@@ -160,13 +183,15 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
         metrics["loss_d_real"] = loss_dr
 
         # ---- pass 4: discriminator fake ---------------------------------
-        def d_fake(heads):
+        def d_fake(heads, mb, key):
             disc_params = {"backbone": aux_frozen["disc_backbone"],
                            "heads": heads, "sn": sn}
-            return loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
-                disc_params, clip_cfg, pred2, smooth)
+            loss = loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
+                disc_params, clip_cfg, mb["pred"], smooth)
+            return loss, ()
 
-        loss_df, grads = jax.value_and_grad(d_fake)(disc)
+        (loss_df, _), grads = vgrad(
+            d_fake, disc, {"pred": jax.lax.stop_gradient(pred2)}, rng)
         updates, disc_opt = disc_tx.update(grads, disc_opt, disc)
         sn = disc_mod.sn_step(disc, sn)
         disc = optax.apply_updates(disc, updates)

@@ -25,12 +25,14 @@ import dataclasses
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from img2img_turbo_tpu import lora as lora_mod, scheduler
 from img2img_turbo_tpu.models import clip_vit, discriminator as disc_mod
 from img2img_turbo_tpu.pipelines.cyclegan import forward_with_params
 from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
+from img2img_turbo_tpu.training import accum as accum_mod
 from img2img_turbo_tpu.training import losses as losses_mod
 
 
@@ -96,7 +98,10 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
                              clip_cfg: clip_vit.CLIPViTConfig,
                              loss_cfg: losses_mod.UnpairedLossConfig,
                              meta: CycleLoraMeta, gen_tx, disc_tx,
-                             remat: bool = True):
+                             remat: bool = True, accum_steps: int = 1):
+    """accum_steps > 1 scans each objective over k micro-batches at constant
+    activation memory (accelerator.accumulate equivalent,
+    train_cyclegan_turbo.py:168); batch dim must divide by accum_steps."""
     alphas = scheduler.make_alphas_cumprod()
     smooth = loss_cfg.gan_loss_type.endswith("_s")
 
@@ -105,6 +110,16 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
         return forward_with_params(params, cfgs, alphas, x, emb, rng,
                                    direction, remat=remat)
 
+    def vgrad(loss_fn, params, data, rng):
+        if accum_steps == 1:
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, data, rng)
+            aux = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[None], aux)
+            return (loss, aux), g
+        return accum_mod.accumulated_value_and_grad(
+            loss_fn, params, data, rng, accum_steps)
+
     def train_step(state, frozen, aux_frozen, batch, rng):
         """state: {gen, gen_opt, disc: {a, b}, disc_sn: {a, b}, disc_opt,
         step}; aux_frozen: {lpips, disc_backbone};
@@ -112,11 +127,11 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
         (B, 77, D) fixed caption embeddings."""
         img_a = batch["pixel_values_src"]
         img_b = batch["pixel_values_tgt"]
-        emb_a2b = batch["emb_a2b"]
-        emb_b2a = batch["emb_b2a"]
         rngs = jax.random.split(rng, 8)
         metrics = {}
         lp = aux_frozen["lpips"]
+        data = {"img_a": img_a, "img_b": img_b,
+                "emb_a2b": batch["emb_a2b"], "emb_b2a": batch["emb_b2a"]}
 
         sn = state["disc_sn"]
 
@@ -128,30 +143,34 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
             return {k: disc_mod.sn_step(disc_heads[k], u[k]) for k in u}
 
         # ---- 1. cycle ----------------------------------------------------
-        def cycle_loss(gen):
-            fake_b = fwd(gen, frozen, img_a, emb_a2b, rngs[0], "a2b")
-            rec_a = fwd(gen, frozen, fake_b, emb_b2a, rngs[1], "b2a")
-            la = (loss_cfg.lambda_cycle * losses_mod.l1_loss(rec_a, img_a)
+        def cycle_loss(gen, mb, key):
+            k0, k1, k2, k3 = jax.random.split(key, 4)
+            fake_b = fwd(gen, frozen, mb["img_a"], mb["emb_a2b"], k0, "a2b")
+            rec_a = fwd(gen, frozen, fake_b, mb["emb_b2a"], k1, "b2a")
+            la = (loss_cfg.lambda_cycle
+                  * losses_mod.l1_loss(rec_a, mb["img_a"])
                   + loss_cfg.lambda_cycle_lpips
-                  * losses_mod.lpips_loss(lp, rec_a, img_a))
-            fake_a = fwd(gen, frozen, img_b, emb_b2a, rngs[2], "b2a")
-            rec_b = fwd(gen, frozen, fake_a, emb_a2b, rngs[3], "a2b")
-            lb = (loss_cfg.lambda_cycle * losses_mod.l1_loss(rec_b, img_b)
+                  * losses_mod.lpips_loss(lp, rec_a, mb["img_a"]))
+            fake_a = fwd(gen, frozen, mb["img_b"], mb["emb_b2a"], k2, "b2a")
+            rec_b = fwd(gen, frozen, fake_a, mb["emb_a2b"], k3, "a2b")
+            lb = (loss_cfg.lambda_cycle
+                  * losses_mod.l1_loss(rec_b, mb["img_b"])
                   + loss_cfg.lambda_cycle_lpips
-                  * losses_mod.lpips_loss(lp, rec_b, img_b))
+                  * losses_mod.lpips_loss(lp, rec_b, mb["img_b"]))
             return la + lb, (la, lb)
 
-        (loss_c, (la, lb)), grads = jax.value_and_grad(
-            cycle_loss, has_aux=True)(state["gen"])
+        (loss_c, (la, lb)), grads = vgrad(cycle_loss, state["gen"], data,
+                                          rngs[0])
         updates, gen_opt = gen_tx.update(grads, state["gen_opt"],
                                          state["gen"])
         gen = optax.apply_updates(state["gen"], updates)
-        metrics["cycle_a"], metrics["cycle_b"] = la, lb
+        metrics["cycle_a"], metrics["cycle_b"] = la.mean(0), lb.mean(0)
 
         # ---- 2. generator GAN -------------------------------------------
-        def gan_loss(gen):
-            fake_a = fwd(gen, frozen, img_b, emb_b2a, rngs[4], "b2a")
-            fake_b = fwd(gen, frozen, img_a, emb_a2b, rngs[5], "a2b")
+        def gan_loss(gen, mb, key):
+            k4, k5 = jax.random.split(key)
+            fake_a = fwd(gen, frozen, mb["img_b"], mb["emb_b2a"], k4, "b2a")
+            fake_b = fwd(gen, frozen, mb["img_a"], mb["emb_a2b"], k5, "a2b")
             ga = loss_cfg.lambda_gan * losses_mod.gan_gen_loss(
                 disc_params(state["disc"]["a"], sn["a"]), clip_cfg, fake_b,
                 smooth)
@@ -160,43 +179,49 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
                 smooth)
             return ga + gb, (fake_a, fake_b, ga, gb)
 
-        (loss_g, (fake_a, fake_b, ga, gb)), grads = jax.value_and_grad(
-            gan_loss, has_aux=True)(gen)
+        (loss_g, (fake_a, fake_b, ga, gb)), grads = vgrad(
+            gan_loss, gen, data, rngs[1])
+        fake_a = accum_mod.merge_micro(fake_a)
+        fake_b = accum_mod.merge_micro(fake_b)
         updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
         gen = optax.apply_updates(gen, updates)
-        metrics["gan_a"], metrics["gan_b"] = ga, gb
+        metrics["gan_a"], metrics["gan_b"] = ga.mean(0), gb.mean(0)
         sn = sn_advance(state["disc"], sn)
 
         # ---- 3. identity -------------------------------------------------
-        def idt_loss(gen):
-            idt_a = fwd(gen, frozen, img_b, emb_a2b, rngs[6], "a2b")
-            li_a = (loss_cfg.lambda_idt * losses_mod.l1_loss(idt_a, img_b)
+        def idt_loss(gen, mb, key):
+            k6, k7 = jax.random.split(key)
+            idt_a = fwd(gen, frozen, mb["img_b"], mb["emb_a2b"], k6, "a2b")
+            li_a = (loss_cfg.lambda_idt
+                    * losses_mod.l1_loss(idt_a, mb["img_b"])
                     + loss_cfg.lambda_idt_lpips
-                    * losses_mod.lpips_loss(lp, idt_a, img_b))
-            idt_b = fwd(gen, frozen, img_a, emb_b2a, rngs[7], "b2a")
-            li_b = (loss_cfg.lambda_idt * losses_mod.l1_loss(idt_b, img_a)
+                    * losses_mod.lpips_loss(lp, idt_a, mb["img_b"]))
+            idt_b = fwd(gen, frozen, mb["img_a"], mb["emb_b2a"], k7, "b2a")
+            li_b = (loss_cfg.lambda_idt
+                    * losses_mod.l1_loss(idt_b, mb["img_a"])
                     + loss_cfg.lambda_idt_lpips
-                    * losses_mod.lpips_loss(lp, idt_b, img_a))
+                    * losses_mod.lpips_loss(lp, idt_b, mb["img_a"]))
             return li_a + li_b, (li_a, li_b)
 
-        (loss_i, (li_a, li_b)), grads = jax.value_and_grad(
-            idt_loss, has_aux=True)(gen)
+        (loss_i, (li_a, li_b)), grads = vgrad(idt_loss, gen, data, rngs[2])
         updates, gen_opt = gen_tx.update(grads, gen_opt, gen)
         gen = optax.apply_updates(gen, updates)
-        metrics["idt_a"], metrics["idt_b"] = li_a, li_b
+        metrics["idt_a"], metrics["idt_b"] = li_a.mean(0), li_b.mean(0)
 
         # ---- 4. discriminator fake --------------------------------------
-        fake_a = jax.lax.stop_gradient(fake_a)
-        fake_b = jax.lax.stop_gradient(fake_b)
+        fakes = {"fake_a": jax.lax.stop_gradient(fake_a),
+                 "fake_b": jax.lax.stop_gradient(fake_b)}
 
-        def d_fake(heads):
+        def d_fake(heads, mb, key):
             da = loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
-                disc_params(heads["a"], sn["a"]), clip_cfg, fake_b, smooth)
+                disc_params(heads["a"], sn["a"]), clip_cfg, mb["fake_b"],
+                smooth)
             db = loss_cfg.lambda_gan * losses_mod.gan_disc_fake_loss(
-                disc_params(heads["b"], sn["b"]), clip_cfg, fake_a, smooth)
-            return (da + db) * 0.5
+                disc_params(heads["b"], sn["b"]), clip_cfg, mb["fake_a"],
+                smooth)
+            return (da + db) * 0.5, ()
 
-        loss_df, grads = jax.value_and_grad(d_fake)(state["disc"])
+        (loss_df, _), grads = vgrad(d_fake, state["disc"], fakes, rngs[3])
         updates, disc_opt = disc_tx.update(grads, state["disc_opt"],
                                            state["disc"])
         sn = sn_advance(state["disc"], sn)
@@ -204,14 +229,17 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
         metrics["disc_fake"] = loss_df
 
         # ---- 5. discriminator real --------------------------------------
-        def d_real(heads):
+        def d_real(heads, mb, key):
             da = loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
-                disc_params(heads["a"], sn["a"]), clip_cfg, img_b, smooth)
+                disc_params(heads["a"], sn["a"]), clip_cfg, mb["img_b"],
+                smooth)
             db = loss_cfg.lambda_gan * losses_mod.gan_disc_real_loss(
-                disc_params(heads["b"], sn["b"]), clip_cfg, img_a, smooth)
-            return (da + db) * 0.5
+                disc_params(heads["b"], sn["b"]), clip_cfg, mb["img_a"],
+                smooth)
+            return (da + db) * 0.5, ()
 
-        loss_dr, grads = jax.value_and_grad(d_real)(disc)
+        (loss_dr, _), grads = vgrad(
+            d_real, disc, {"img_a": img_a, "img_b": img_b}, rngs[4])
         updates, disc_opt = disc_tx.update(grads, disc_opt, disc)
         sn = sn_advance(disc, sn)
         disc = optax.apply_updates(disc, updates)

@@ -234,3 +234,121 @@ class TestLossComponents:
                          for x in jax.tree_util.tree_leaves(g["heads"]))
         assert backbone_norm == 0.0
         assert heads_norm > 0.0
+
+
+class TestGradAccumulation:
+    def test_helper_matches_big_batch_exactly(self):
+        """rng-free loss: scanned micro-batch grads == big-batch grads."""
+        from img2img_turbo_tpu.training import accum
+        rng = np.random.RandomState(0)
+        w = {"w": jnp.asarray(rng.randn(6, 3).astype(np.float32))}
+        data = {"x": jnp.asarray(rng.randn(8, 6).astype(np.float32)),
+                "y": jnp.asarray(rng.randn(8, 3).astype(np.float32))}
+
+        def loss(params, mb, key):
+            pred = mb["x"] @ params["w"]
+            return jnp.mean((pred - mb["y"]) ** 2), {"l": jnp.mean(pred)}
+
+        (_, _), g_big = jax.value_and_grad(loss, has_aux=True)(
+            w, data, jax.random.PRNGKey(0))
+        for k in (2, 4, 8):
+            (lm, aux), g_acc = accum.accumulated_value_and_grad(
+                loss, w, data, jax.random.PRNGKey(0), k)
+            assert aux["l"].shape == (k,)
+            np.testing.assert_allclose(np.asarray(g_acc["w"]),
+                                       np.asarray(g_big["w"]),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_paired_recon_grads_match_big_batch(self, setup):
+        """The real pass-1 loss (VAE+UNet+LPIPS[+CLIP-sim]) under scan
+        accumulation reproduces the big-batch gradient. The VAE posterior is
+        pinned to its mean (logvar forced to the -30 clip) so the per-micro
+        rng fold is inert."""
+        from img2img_turbo_tpu import scheduler
+        from img2img_turbo_tpu.pipelines.pix2pix import generate_deterministic
+        from img2img_turbo_tpu.training import accum, losses as losses_mod
+        s = setup
+        frozen = jax.tree_util.tree_map(lambda x: x, s["frozen"])
+        frozen["vae"] = dict(frozen["vae"])
+        qc = dict(frozen["vae"]["quant_conv"])
+        z = s["cfgs"].vae.latent_channels
+        kern = np.asarray(qc["kernel"]).copy()
+        kern[..., z:] = 0.0
+        bias = np.asarray(qc["bias"]).copy()
+        bias[z:] = -40.0  # logvar clips to -30 -> std ~ 3e-7
+        qc["kernel"], qc["bias"] = jnp.asarray(kern), jnp.asarray(bias)
+        frozen["vae"]["quant_conv"] = qc
+
+        alphas = scheduler.make_alphas_cumprod()
+        loss_cfg = losses_mod.PairedLossConfig()
+        batch = make_batch(b=4, seed=7)
+        data = {"c_t": batch["conditioning_pixel_values"],
+                "x_tgt": batch["output_pixel_values"]}
+
+        def recon(gen, mb, key):
+            params = paired.build_gen_params(gen, frozen, s["meta"])
+            pred = generate_deterministic(params, s["cfgs"], alphas,
+                                          mb["c_t"], jnp.zeros(
+                                              (mb["c_t"].shape[0], 77,
+                                               s["cfgs"].unet
+                                               .cross_attention_dim)),
+                                          key)
+            l2 = loss_cfg.lambda_l2 * losses_mod.l2_loss(pred, mb["x_tgt"])
+            lp = loss_cfg.lambda_lpips * losses_mod.lpips_loss(
+                s["aux_frozen"]["lpips"], pred, mb["x_tgt"])
+            return l2 + lp, {"l2": l2}
+
+        (loss_big, _), g_big = jax.jit(
+            jax.value_and_grad(recon, has_aux=True))(
+            s["state"]["gen"], data, jax.random.PRNGKey(3))
+        (loss_acc, _), g_acc = jax.jit(
+            lambda p, d, r: accum.accumulated_value_and_grad(
+                recon, p, d, r, 2))(
+            s["state"]["gen"], data, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(loss_acc), float(loss_big),
+                                   rtol=1e-5)
+        flat_big = jax.tree_util.tree_leaves(g_big)
+        flat_acc = jax.tree_util.tree_leaves(g_acc)
+        for a, b in zip(flat_acc, flat_big):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_paired_step_with_accum_runs_and_matches_metrics(self, setup):
+        """Full 4-pass step with accum_steps=2: finite losses, params move,
+        pass-1 metrics match the accum_steps=1 step (same pinned posterior,
+        identical batch)."""
+        s = setup
+        frozen = jax.tree_util.tree_map(lambda x: x, s["frozen"])
+        frozen["vae"] = dict(frozen["vae"])
+        qc = dict(frozen["vae"]["quant_conv"])
+        z = s["cfgs"].vae.latent_channels
+        kern = np.asarray(qc["kernel"]).copy()
+        kern[..., z:] = 0.0
+        bias = np.asarray(qc["bias"]).copy()
+        bias[z:] = -40.0
+        qc["kernel"], qc["bias"] = jnp.asarray(kern), jnp.asarray(bias)
+        frozen["vae"]["quant_conv"] = qc
+
+        from img2img_turbo_tpu.training import optim
+        loss_cfg = losses_mod.PairedLossConfig()
+        sched = optim.make_lr_schedule("constant", 5e-4, 0, 100)
+        gen_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+        disc_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+        step1 = jax.jit(paired.make_paired_train_step(
+            s["cfgs"], s["clip_cfg"], loss_cfg, s["meta"], gen_tx, disc_tx,
+            remat=True, accum_steps=1))
+        step2 = jax.jit(paired.make_paired_train_step(
+            s["cfgs"], s["clip_cfg"], loss_cfg, s["meta"], gen_tx, disc_tx,
+            remat=True, accum_steps=2))
+        batch = make_batch(b=4, seed=9)
+        st1, m1 = step1(s["state"], frozen, s["aux_frozen"], batch,
+                        jax.random.PRNGKey(11))
+        st2, m2 = step2(s["state"], frozen, s["aux_frozen"], batch,
+                        jax.random.PRNGKey(11))
+        for k in m2:
+            assert np.isfinite(float(m2[k])), k
+        # pass-1 losses are batch means of the SAME forward -> must agree
+        for k in ("loss_l2", "loss_lpips", "loss_clipsim"):
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                       rtol=5e-4, atol=1e-6)
+        assert int(st2["step"]) == 1

@@ -101,3 +101,25 @@ def test_adapter_targets_cover_reference_partition(setup):
     assert any("up_blocks" in n for n in names)
     assert any("down_blocks" in n for n in names)
     assert "mid_block.resnets.0.conv1" in names
+
+
+def test_step_with_grad_accumulation(setup):
+    """6-objective step with accum_steps=2 (lax.scan micro-batches): finite
+    losses, params move, step counter advances."""
+    s = setup
+    step2 = jax.jit(unpaired.make_unpaired_train_step(
+        s["cfgs"], clip_vit.TINY_CLIP_VIT, losses_mod.UnpairedLossConfig(),
+        s["meta"], optim.make_adamw(optim.make_lr_schedule(
+            "constant", 1e-4, 0, 10), max_grad_norm=10.0),
+        optim.make_adamw(optim.make_lr_schedule(
+            "constant", 1e-4, 0, 10), max_grad_norm=10.0),
+        remat=False, accum_steps=2))
+    state1, metrics = step2(s["state"], s["frozen"], s["aux"],
+                            make_batch(s["cfgs"], b=2, seed=5),
+                            jax.random.PRNGKey(5))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    before = s["state"]["gen"]["conv_in"]["kernel"]
+    after = state1["gen"]["conv_in"]["kernel"]
+    assert np.abs(np.asarray(after - before)).max() > 0
+    assert int(state1["step"]) == 1
