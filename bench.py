@@ -30,6 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the Pallas-heavy programs take many minutes
+# of remote Mosaic compiles cold; any earlier run (bench or CLI) with the
+# same cache dir makes this start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_A100_S = 0.11
 
 

@@ -20,6 +20,7 @@ Layout rules (TPU-first):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -99,8 +100,51 @@ def init_group_norm(num_channels: int, dtype=jnp.float32):
             "bias": jnp.zeros((num_channels,), dtype)}
 
 
-def group_norm(p, x, num_groups: int, eps: float):
+FUSED_KERNELS = True
+"""Route GroupNorm stats and the resnet-body GN+SiLU+conv through the
+Pallas kernels on TPU (ops/groupnorm.py, ops/fused_conv.py). Disable for
+multi-device pjit graphs (Pallas calls are not SPMD-partitionable by XLA;
+see parallel/mesh.py) — `set_fused_kernels(False)`."""
+
+
+def set_fused_kernels(enabled: bool) -> None:
+    global FUSED_KERNELS
+    FUSED_KERNELS = bool(enabled)
+
+
+def _pallas_tpu() -> bool:
+    return FUSED_KERNELS and jax.default_backend() == "tpu"
+
+
+def group_norm(p, x, num_groups: int, eps: float, x_stats=None):
     """GroupNorm over NHWC (stats over H, W and channels-within-group).
+
+    On TPU the statistics come either from `x_stats` (partial sums chained
+    from the producing Pallas kernel — free) or from a Pallas pre-reduction
+    kernel (ops/groupnorm.py): giving the reduction an opaque compilation
+    boundary stops XLA from fusing it into the producing conv, which
+    round-1 profiling showed degrades the conv 118 -> 25 TFLOP/s
+    ("convert_reduce_fusion" pathology, CLAUDE.md). The normalize itself
+    stays in XLA where it fuses into the consumer.
+    """
+    if x.ndim == 4 and _pallas_tpu():
+        from img2img_turbo_tpu.ops import groupnorm
+        if x_stats is not None:
+            return _make_gn_pallas(num_groups, eps, True)(
+                x, p["scale"], p["bias"], x_stats)
+        # c % 128: a stats custom call pins its operand to the default
+        # row-major layout; an XLA conv producing that operand would then
+        # emit a degraded schedule. 128-multiple channels only appear in
+        # the Pallas-fused resnet neighborhoods, where producers are
+        # layout-fixed Pallas kernels anyway.
+        if x.shape[-1] % 128 == 0 and groupnorm.supported(x, num_groups):
+            return _make_gn_pallas(num_groups, eps, False)(
+                x, p["scale"], p["bias"])
+    return _gn_xla(x, p["scale"], p["bias"], num_groups, eps)
+
+
+def _gn_xla(x, scale, bias, num_groups: int, eps: float):
+    """Pure-XLA GroupNorm (all backends; also the VJP reference).
 
     Statistics are fp32 (E[x], E[x^2] reductions); the normalization itself
     runs in the activation dtype so large bf16 activations are never
@@ -115,13 +159,55 @@ def group_norm(p, x, num_groups: int, eps: float):
                    axis=(1, 2, 4))                 # two-pass: no cancellation
     inv = jax.lax.rsqrt(var + eps)                 # (b, g)
     # fold affine: y = x * (inv*scale) + (bias - mean*inv*scale)
-    scale = p["scale"].astype(jnp.float32).reshape(num_groups, c // num_groups)
-    bias = p["bias"].astype(jnp.float32).reshape(num_groups, c // num_groups)
+    scale = scale.astype(jnp.float32).reshape(num_groups, c // num_groups)
+    bias = bias.astype(jnp.float32).reshape(num_groups, c // num_groups)
     a = inv[..., None] * scale[None]               # (b, g, c/g)
     bterm = bias[None] - mean[..., None] * a       # (b, g, c/g)
     a = a.reshape(b, 1, 1, c).astype(x.dtype)
     bterm = bterm.reshape(b, 1, 1, c).astype(x.dtype)
     return x * a + bterm
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gn_pallas(num_groups: int, eps: float, has_stats: bool = False):
+    """custom_vjp GroupNorm: Pallas-stats (or chained-stats) forward,
+    XLA-reference backward (exact gradients; zero cotangent for x_stats —
+    see _make_fused_gsc)."""
+    from img2img_turbo_tpu.ops.groupnorm import group_norm_coeffs
+    from img2img_turbo_tpu.ops.fused_conv import combine_stats
+
+    def impl(x, scale, bias, xs=None):
+        if xs is not None:
+            count = 1
+            for d in x.shape[1:-1]:
+                count *= d
+            a, bt = combine_stats(xs, scale, bias, num_groups, eps, count)
+        else:
+            a, bt = group_norm_coeffs(x, scale, bias, num_groups, eps)
+        b, c = x.shape[0], x.shape[-1]
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        return (x * a.reshape(shape).astype(x.dtype)
+                + bt.reshape(shape).astype(x.dtype))
+
+    @jax.custom_vjp
+    def f(*args):
+        return impl(*args)
+
+    def fwd(*args):
+        return impl(*args), args
+
+    def bwd(res, g):
+        x, scale, bias = res[:3]
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: _gn_xla(x_, s_, b_, num_groups, eps),
+            x, scale, bias)
+        grads = vjp(g)
+        if has_stats:
+            return grads + (jnp.zeros_like(res[3]),)
+        return grads
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def init_layer_norm(dim: int, dtype=jnp.float32):
@@ -157,6 +243,217 @@ def quick_gelu(x):
 
 
 ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu, "silu": silu}
+
+
+# ---------------------------------------------------------------------------
+# Fused GN+SiLU+conv3x3 (the UNet/VAE resnet-body hot path)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_gsc(num_groups: int, eps: float, has_eb: bool, has_res: bool,
+                    has_stats_in: bool, emit_stats: bool,
+                    has_skip: bool = False):
+    """custom_vjp over
+    (x, gn_scale, gn_bias, w, conv_bias[, eb][, res][, x_stats]
+     [, skip_x, skip_w]):
+    Pallas fused kernel forward, XLA-composition backward (the two agree to
+    bf16 rounding; the backward recomputes forward state remat-style).
+
+    x_stats, when given, are (B, n_tiles, 2, C) partial sums of x emitted
+    by the producing kernel — GroupNorm statistics then cost one tiny XLA
+    combine instead of a full read of x. Gradients stay exact: x_stats is
+    a function of x, so the backward differentiates the plain composition
+    w.r.t. x and returns a zero cotangent for the x_stats operand (and the
+    emitted-stats output takes no cotangent — its only consumers likewise
+    route their gradient through y)."""
+    from img2img_turbo_tpu.ops import fused_conv
+    from img2img_turbo_tpu.ops.groupnorm import group_norm_coeffs
+
+    def unpack(args):
+        x, scale, bias, w, cb = args[:5]
+        i = 5
+        eb = args[i] if has_eb else None
+        i += int(has_eb)
+        res = args[i] if has_res else None
+        i += int(has_res)
+        xs = args[i] if has_stats_in else None
+        i += int(has_stats_in)
+        sk = args[i:i + 2] if has_skip else (None, None)
+        return x, scale, bias, w, cb, eb, res, xs, sk
+
+    def pallas_impl(*args):
+        x, scale, bias, w, cb, eb, res, xs, (skx, skw) = unpack(args)
+        if xs is not None:
+            a, bt = fused_conv.combine_stats(
+                xs, scale, bias, num_groups, eps,
+                count=x.shape[1] * x.shape[2])
+        else:
+            a, bt = group_norm_coeffs(x, scale, bias, num_groups, eps)
+        y, stats = fused_conv.fused_gn_silu_conv3x3(
+            x, w, cb, a=a, b=bt, extra_bias=eb, residual=res,
+            skip_x=skx, skip_w=skw, emit_stats=emit_stats)
+        return (y, stats) if emit_stats else y
+
+    def xla_impl(*args):
+        x, scale, bias, w, cb, eb, res, _, (skx, skw) = unpack(args)
+        h = _gn_xla(x, scale, bias, num_groups, eps)
+        y = conv2d({"kernel": w, "bias": cb}, silu(h))
+        if eb is not None:
+            y = y + eb[:, None, None, :].astype(y.dtype)
+        if res is not None:
+            y = y + res
+        if skx is not None:
+            y = y + jnp.dot(skx, skw.astype(skx.dtype),
+                            preferred_element_type=skx.dtype)
+        return y
+
+    @jax.custom_vjp
+    def f(*args):
+        return pallas_impl(*args)
+
+    def fwd(*args):
+        return pallas_impl(*args), args
+
+    def bwd(saved, g):
+        gy = g[0] if emit_stats else g
+        _, vjp = jax.vjp(xla_impl, *saved)
+        grads = list(vjp(gy))
+        if has_stats_in:
+            idx = 5 + int(has_eb) + int(has_res)
+            grads[idx] = jnp.zeros_like(saved[idx])
+        return tuple(grads)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_upconv(emit_stats: bool = False, has_skip: bool = False):
+    from img2img_turbo_tpu.ops import fused_conv
+
+    def xla_impl(*args):
+        x, w, cb = args[:3]
+        y = conv2d({"kernel": w, "bias": cb}, upsample_nearest_2x(x))
+        if has_skip:
+            skx, skw = args[3:5]
+            y = y + jnp.dot(skx, skw.astype(skx.dtype),
+                            preferred_element_type=skx.dtype)
+        return y
+
+    def impl(*args):
+        x, w, cb = args[:3]
+        skx, skw = args[3:5] if has_skip else (None, None)
+        y, stats = fused_conv.upsample2x_conv3x3(
+            x, w, cb, skip_x=skx, skip_w=skw, emit_stats=emit_stats)
+        return (y, stats) if emit_stats else y
+
+    @jax.custom_vjp
+    def f(*args):
+        return impl(*args)
+
+    def fwd(*args):
+        return impl(*args), args
+
+    def bwd(saved, g):
+        gy = g[0] if emit_stats else g
+        _, vjp = jax.vjp(xla_impl, *saved)
+        return vjp(gy)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def upsample2x_conv(conv_p, x, emit_stats: bool = False, skip=None):
+    """conv3x3(nearest_upsample_2x(x)) — diffusers Upsample2D hot path.
+
+    On TPU this runs as a phase-decomposed Pallas kernel
+    (ops/fused_conv.upsample2x_conv3x3): 2.25x fewer FLOPs than convolving
+    the upsampled tensor, reads x at low resolution, and keeps the op out
+    of XLA's conv fuser (whose schedule collapses when its input comes
+    from a Pallas custom call). Elsewhere: the plain XLA composition.
+    emit_stats=True returns (y, output partial sums) for GN chaining
+    (stats None on the fallback path). `skip`, when given, is
+    {"x": (B,2H,2W,Csk), "kernel": (1,1,Csk,Co), "gamma": scalar}: the
+    VAE skip-decoder's zero-conv output is added in the kernel epilogue
+    (gamma folded into the weights), replacing an XLA conv+add round trip.
+    """
+    kernel = conv_p["kernel"]
+    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
+        from img2img_turbo_tpu.ops import fused_conv
+        if fused_conv.upsample_supported(x.shape, kernel.shape[-1]):
+            f = _make_fused_upconv(emit_stats, skip is not None)
+            args = [x, kernel.astype(x.dtype),
+                    conv_p["bias"].astype(x.dtype)]
+            if skip is not None:
+                ci, co_s = skip["kernel"].shape[2:]
+                skw = (skip["kernel"].reshape(ci, co_s)
+                       * jnp.asarray(skip["gamma"], skip["kernel"].dtype))
+                args += [skip["x"].astype(x.dtype), skw]
+            return f(*args)
+    y = conv2d(conv_p, upsample_nearest_2x(x))
+    if skip is not None:
+        sx = skip["x"]
+        y = y + conv2d({"kernel": skip["kernel"]},
+                       sx * jnp.asarray(skip["gamma"], sx.dtype))
+    return (y, None) if emit_stats else y
+
+
+def gn_silu_conv(gn_p, conv_p, x, num_groups: int, eps: float,
+                 extra_bias=None, residual=None, x_stats=None,
+                 emit_stats: bool = False, skip=None):
+    """conv3x3(silu(GroupNorm(x))) + bias [+ extra_bias(B,Co)] [+ residual].
+
+    The resnet-body primitive for UNet/VAE blocks. On TPU, supported shapes
+    run as ONE Pallas kernel (ops/fused_conv.py): x streams HBM->VMEM once,
+    normalize+SiLU happen in-register, the conv runs as 9 shifted MXU
+    matmuls — this sidesteps both the convert_reduce_fusion pathology and
+    XLA's space-to-batch layout copies. Elsewhere (CPU tests, multi-device
+    graphs) it is the plain XLA composition with identical semantics.
+
+    Stats chaining: `x_stats` (from a previous call's emitted stats) makes
+    this GroupNorm's statistics free; `emit_stats=True` returns (y, stats)
+    for the next GN. Both are inert (stats=None) on the fallback path —
+    callers must treat a None as "compute stats yourself".
+    `skip` = {"x", "kernel" (1,1,Csk,Co), "gamma"}: epilogue zero-conv skip
+    fusion, as in upsample2x_conv.
+    """
+    kernel = conv_p["kernel"]
+    co = kernel.shape[-1]
+    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
+        from img2img_turbo_tpu.ops import fused_conv
+        if fused_conv.supported(x.shape, co):
+            f = _make_fused_gsc(num_groups, eps, extra_bias is not None,
+                                residual is not None, x_stats is not None,
+                                emit_stats, skip is not None)
+            args = [x, gn_p["scale"], gn_p["bias"],
+                    kernel.astype(x.dtype), conv_p["bias"].astype(x.dtype)]
+            if extra_bias is not None:
+                args.append(extra_bias)
+            if residual is not None:
+                args.append(residual.astype(x.dtype))
+            if x_stats is not None:
+                args.append(x_stats)
+            if skip is not None:
+                ci, co_s = skip["kernel"].shape[2:]
+                skw = (skip["kernel"].reshape(ci, co_s)
+                       * jnp.asarray(skip["gamma"], skip["kernel"].dtype))
+                args += [skip["x"].astype(x.dtype), skw]
+            return f(*args)
+    # fallback: keep the GN in XLA too — a Pallas stats kernel next to an
+    # XLA conv pins the conv's output layout (row-major) and collapses its
+    # schedule, so mixed neighborhoods must stay all-XLA
+    h = _gn_xla(x, gn_p["scale"], gn_p["bias"], num_groups, eps)
+    y = conv2d(conv_p, silu(h))
+    if extra_bias is not None:
+        y = y + extra_bias[:, None, None, :].astype(y.dtype)
+    if residual is not None:
+        y = y + residual
+    if skip is not None:
+        sx = skip["x"]
+        y = y + conv2d({"kernel": skip["kernel"]},
+                       sx * jnp.asarray(skip["gamma"], sx.dtype))
+    return (y, None) if emit_stats else y
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,25 @@ def _whitespace_clean(text: str) -> str:
     return text.strip()
 
 
+def _load_merges(merges_path: str) -> List[str]:
+    """Merge lines from an HF merges.txt(.gz) or OpenAI's
+    bpe_simple_vocab_16e6.txt.gz (truncated to CLIP's 48894 merges,
+    openai/CLIP simple_tokenizer.py:68)."""
+    if merges_path.endswith(".gz"):
+        with gzip.open(merges_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+    else:
+        with open(merges_path, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+    if lines and (lines[0].startswith("#")
+                  or len(lines[0].split()) != 2):
+        lines = lines[1:]
+    merges = [m for m in lines if m and len(m.split()) == 2]
+    if merges_path.endswith("bpe_simple_vocab_16e6.txt.gz"):
+        merges = merges[:49152 - 256 - 2]
+    return merges
+
+
 class CLIPTokenizer:
     """CLIP BPE tokenizer with the HF CLIPTokenizer call surface we need."""
 
@@ -75,16 +94,7 @@ class CLIPTokenizer:
         with open(vocab_path, encoding="utf-8") as f:
             self.encoder = json.load(f)
         self.decoder = {v: k for k, v in self.encoder.items()}
-        if merges_path.endswith(".gz"):
-            with gzip.open(merges_path, "rt", encoding="utf-8") as f:
-                merges = f.read().split("\n")
-        else:
-            with open(merges_path, encoding="utf-8") as f:
-                merges = f.read().split("\n")
-        # first line of HF merges.txt is a version header
-        if merges and merges[0].startswith("#"):
-            merges = merges[1:]
-        merges = [tuple(m.split()) for m in merges if m and len(m.split()) == 2]
+        merges = [tuple(m.split()) for m in _load_merges(merges_path)]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
@@ -108,8 +118,33 @@ class CLIPTokenizer:
 
     @classmethod
     def from_dir(cls, path: str, **kw) -> "CLIPTokenizer":
-        return cls(os.path.join(path, "vocab.json"),
-                   os.path.join(path, "merges.txt"), **kw)
+        """Load from a directory holding either the HF pair
+        (vocab.json + merges.txt) or only a merges file — including
+        OpenAI's single-file `bpe_simple_vocab_16e6.txt.gz` — from which
+        the vocab is derived (see vocab_from_merges)."""
+        vocab = os.path.join(path, "vocab.json")
+        for cand in ("merges.txt", "merges.txt.gz",
+                     "bpe_simple_vocab_16e6.txt.gz"):
+            merges = os.path.join(path, cand)
+            if os.path.exists(merges):
+                break
+        if os.path.exists(vocab):
+            return cls(vocab, merges, **kw)
+        if not os.path.exists(merges):
+            raise FileNotFoundError(
+                f"no vocab.json or merges file in {path}; fetch with "
+                "img2img_turbo_tpu.utils.download.get_clip_tokenizer() on "
+                "a machine with network access")
+        import tempfile
+
+        derived = vocab_from_merges(merges)
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(derived, tmp)
+        tmp.close()
+        try:
+            return cls(tmp.name, merges, **kw)
+        finally:
+            os.unlink(tmp.name)
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -194,3 +229,22 @@ class CLIPTokenizer:
         text = bytearray(self.byte_decoder[c] for c in text).decode(
             "utf-8", errors="replace")
         return text.replace("</w>", " ").replace("<|endoftext|>", "").strip()
+
+
+def vocab_from_merges(merges_path: str) -> dict:
+    """Reconstruct the CLIP vocab.json mapping from a merges file.
+
+    The CLIP vocabulary is fully determined by its merge list (OpenAI
+    clip/simple_tokenizer.py builds it the same way): the 256 byte symbols,
+    the 256 end-of-word variants, one token per merge (in merge order),
+    then the two specials. HF's vocab.json for CLIP checkpoints is exactly
+    this ordering, so a single `merges.txt` (or OpenAI's
+    bpe_simple_vocab_16e6.txt.gz, whose lines 1..48894 are the merges) is
+    enough to run the tokenizer.
+    """
+    merges = _load_merges(merges_path)
+    symbols = list(bytes_to_unicode().values())
+    vocab = symbols + [s + "</w>" for s in symbols]
+    vocab += ["".join(m.split()) for m in merges]
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    return {tok: i for i, tok in enumerate(vocab)}

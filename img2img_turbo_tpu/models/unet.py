@@ -45,16 +45,84 @@ def _init_resnet(key, in_ch: int, out_ch: int, temb_dim: int):
     return p
 
 
-def _resnet(p, x, temb, cfg: UNetConfig):
-    h = L.group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
-    h = L.conv2d(p["conv1"], L.silu(h))
+def _concat_resnet(p, parts, part_stats, temb, cfg: UNetConfig,
+                   emit_stats: bool = False):
+    """_resnet over concat(parts, axis=-1) without materializing the concat
+    when the parts can run the fused Pallas path separately.
+
+    conv3x3 over a channel concat is exactly the sum of per-part convs with
+    the weight slices, and GroupNorm statistics stay per-group, so as long
+    as no group crosses a part boundary the normalization splits too. This
+    rescues the UNet's 2560-ch up-block entries, whose concatenated weight
+    block exceeds the kernel's VMEM budget as a single call
+    (ops/fused_conv._W_BUDGET), and skips the concat's HBM round trip.
+    """
+    from img2img_turbo_tpu.ops import fused_conv
+    from img2img_turbo_tpu.models.layers import _pallas_tpu
+
+    c_total = sum(part.shape[-1] for part in parts)
+    co = p["conv1"]["kernel"].shape[-1]
+    gsize = c_total // cfg.norm_num_groups
+    shape0 = parts[0].shape[:-1]
+    splittable = (
+        _pallas_tpu()
+        and not fused_conv.supported(shape0 + (c_total,), co)
+        and all(part.shape[-1] % gsize == 0 for part in parts)
+        and all(fused_conv.supported(shape0 + (part.shape[-1],), co)
+                for part in parts))
+    if not splittable:
+        x = jnp.concatenate(parts, axis=-1)
+        return _resnet(p, x, temb, cfg, emit_stats=emit_stats)
+
     t = L.linear(p["time_emb_proj"], L.silu(temb))
-    h = h + t[:, None, None, :].astype(h.dtype)
-    h = L.group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
-    h = L.conv2d(p["conv2"], L.silu(h))
-    if "conv_shortcut" in p:
-        x = L.conv2d(p["conv_shortcut"], x)
-    return x + h
+    h = None
+    s1 = None
+    off = 0
+    for idx, part in enumerate(parts):
+        c_p = part.shape[-1]
+        last = idx == len(parts) - 1
+        gn_p = {"scale": p["norm1"]["scale"][off:off + c_p],
+                "bias": p["norm1"]["bias"][off:off + c_p]}
+        conv_p = {"kernel": p["conv1"]["kernel"][:, :, off:off + c_p, :],
+                  "bias": (p["conv1"]["bias"] if idx == 0 else
+                           jnp.zeros_like(p["conv1"]["bias"]))}
+        out = L.gn_silu_conv(
+            gn_p, conv_p, part, c_p // gsize, cfg.norm_eps,
+            extra_bias=t if idx == 0 else None,
+            residual=h, x_stats=part_stats[idx], emit_stats=last)
+        h, s1 = out if last else (out, None)
+        off += c_p
+    # 1x1 shortcut over the concat = sum of per-part matmuls (XLA; small)
+    sck = p["conv_shortcut"]["kernel"]
+    off = 0
+    shortcut = p["conv_shortcut"]["bias"].astype(h.dtype)
+    for part in parts:
+        c_p = part.shape[-1]
+        wp = sck[0, 0, off:off + c_p, :].astype(part.dtype)
+        shortcut = shortcut + jnp.dot(part, wp,
+                                      preferred_element_type=part.dtype)
+        off += c_p
+    return L.gn_silu_conv(p["norm2"], p["conv2"], h,
+                          cfg.norm_num_groups, cfg.norm_eps,
+                          residual=shortcut, x_stats=s1,
+                          emit_stats=emit_stats)
+
+
+def _resnet(p, x, temb, cfg: UNetConfig, x_stats=None,
+            emit_stats: bool = False):
+    """GroupNorm partial-sum chaining as in models/vae.py:_resnet (inert
+    off-TPU). conv1 emits for GN2; conv2 optionally emits for the next
+    consumer (the following transformer's GN or resnet's GN1)."""
+    t = L.linear(p["time_emb_proj"], L.silu(temb))
+    h, s1 = L.gn_silu_conv(p["norm1"], p["conv1"], x,
+                           cfg.norm_num_groups, cfg.norm_eps, extra_bias=t,
+                           x_stats=x_stats, emit_stats=True)
+    shortcut = (L.conv2d(p["conv_shortcut"], x)
+                if "conv_shortcut" in p else x)
+    return L.gn_silu_conv(p["norm2"], p["conv2"], h,
+                          cfg.norm_num_groups, cfg.norm_eps,
+                          residual=shortcut, x_stats=s1,
+                          emit_stats=emit_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -77,10 +145,12 @@ def _init_transformer(key, ch: int, num_heads: int, cross_dim: int):
     }
 
 
-def _transformer(p, x, context, num_heads: int, cfg: UNetConfig, attn_fn):
+def _transformer(p, x, context, num_heads: int, cfg: UNetConfig, attn_fn,
+                 x_stats=None):
     b, h, w, c = x.shape
     residual = x
-    hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.attn_norm_eps)
+    hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups,
+                          cfg.attn_norm_eps, x_stats=x_stats)
     hidden = hidden.reshape(b, h * w, c)
     hidden = L.linear(p["proj_in"], hidden)
     # BasicTransformerBlock
@@ -226,12 +296,18 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
     def run_down_block(block, sample, temb, context):
         outs = []
         attns = block.get("attns")
+        stats = None
         for j, res in enumerate(block["resnets"]):
-            sample = _resnet(res, sample, temb, cfg)
+            # chain: resnet conv2 -> transformer GN (or next resnet GN1 in
+            # attention-free blocks); breaks at transformer residual adds
+            # and downsample convs
+            sample, stats = _resnet(res, sample, temb, cfg, x_stats=stats,
+                                    emit_stats=True)
             if attns is not None:
                 heads = attns[j]["attn1"]["to_q"]["kernel"].shape[0] // _head_dim(cfg)
                 sample = _transformer(attns[j], sample, context, heads, cfg,
-                                      attn_fn)
+                                      attn_fn, x_stats=stats)
+                stats = None
             outs.append(sample)
         if "downsample" in block:
             sample = L.conv2d(block["downsample"], sample, stride=2,
@@ -242,31 +318,41 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
     def run_up_block(block, sample, res_samples, temb, context,
                      upsample_size):
         attns = block.get("attns")
+        prev_stats = None
         for j, res in enumerate(block["resnets"]):
             skip = res_samples[-(j + 1)]
-            sample = jnp.concatenate([sample, skip], axis=-1)
-            sample = _resnet(res, sample, temb, cfg)
+            # concat resnets run split per part when the fused kernel can't
+            # take the full concat (2560-ch entries); otherwise they
+            # materialize the concat as usual. conv1 -> conv2 chains inside;
+            # conv2 -> transformer GN chains here.
+            sample, stats = _concat_resnet(res, [sample, skip],
+                                           [prev_stats, None], temb, cfg,
+                                           emit_stats=True)
+            prev_stats = None
             if attns is not None:
                 heads = attns[j]["attn1"]["to_q"]["kernel"].shape[0] // _head_dim(cfg)
                 sample = _transformer(attns[j], sample, context, heads, cfg,
-                                      attn_fn)
+                                      attn_fn, x_stats=stats)
+            else:
+                prev_stats = stats
         if "upsample" in block:
             b, h, w, c = sample.shape
             if upsample_size is not None and upsample_size != (2 * h, 2 * w):
                 # odd skip sizes: upsample to the next level's exact size
                 # (diffusers forward_upsample_size semantics — torch-nearest
                 # interpolation to the stored residual's spatial dims)
-                up = L.upsample_nearest_to(sample, upsample_size)
+                sample = L.conv2d(block["upsample"],
+                                  L.upsample_nearest_to(sample, upsample_size))
             else:
-                up = L.upsample_nearest_2x(sample)
-            sample = L.conv2d(block["upsample"], up)
+                sample = L.upsample2x_conv(block["upsample"], sample)
         return sample
 
     def run_mid(mid, sample, temb, context):
-        sample = _resnet(mid["res1"], sample, temb, cfg)
+        sample, stats = _resnet(mid["res1"], sample, temb, cfg,
+                                emit_stats=True)
         heads = mid["attn"]["attn1"]["to_q"]["kernel"].shape[0] // _head_dim(cfg)
         sample = _transformer(mid["attn"], sample, context, heads, cfg,
-                              attn_fn)
+                              attn_fn, x_stats=stats)
         return _resnet(mid["res2"], sample, temb, cfg)
 
     if remat:

@@ -49,14 +49,23 @@ def _init_resnet(key, in_ch: int, out_ch: int):
     return p
 
 
-def _resnet(p, x, cfg: VAEConfig):
-    h = L.group_norm(p["norm1"], x, cfg.norm_num_groups, cfg.norm_eps)
-    h = L.conv2d(p["conv1"], L.silu(h))
-    h = L.group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
-    h = L.conv2d(p["conv2"], L.silu(h))
-    if "conv_shortcut" in p:
-        x = L.conv2d(p["conv_shortcut"], x)
-    return x + h
+def _resnet(p, x, cfg: VAEConfig, x_stats=None, emit_stats: bool = False,
+            epilogue_skip=None):
+    """x_stats / emit_stats: GroupNorm partial-sum chaining between Pallas
+    kernels (models/layers.gn_silu_conv) — GN1 consumes the producing
+    kernel's stats, conv1 emits for GN2, conv2 optionally emits for the
+    next consumer. epilogue_skip: a zero-conv skip fused into conv2's
+    epilogue (the skip-decoder add that follows this block in the
+    reference dataflow). All None/no-op on non-TPU paths."""
+    h, s1 = L.gn_silu_conv(p["norm1"], p["conv1"], x,
+                           cfg.norm_num_groups, cfg.norm_eps,
+                           x_stats=x_stats, emit_stats=True)
+    shortcut = (L.conv2d(p["conv_shortcut"], x)
+                if "conv_shortcut" in p else x)
+    return L.gn_silu_conv(p["norm2"], p["conv2"], h,
+                          cfg.norm_num_groups, cfg.norm_eps,
+                          residual=shortcut, x_stats=s1,
+                          emit_stats=emit_stats, skip=epilogue_skip)
 
 
 def _init_mid_attn(key, ch: int):
@@ -70,10 +79,11 @@ def _init_mid_attn(key, ch: int):
     }
 
 
-def _mid_attn(p, x, cfg: VAEConfig):
+def _mid_attn(p, x, cfg: VAEConfig, x_stats=None):
     """Single-head spatial self-attention with residual (SD VAE attn_1)."""
     b, h, w, c = x.shape
-    hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.norm_eps)
+    hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.norm_eps,
+                          x_stats=x_stats)
     hidden = hidden.reshape(b, h * w, c)
     q = L.linear(p["to_q"], hidden)
     k = L.linear(p["to_k"], hidden)
@@ -95,10 +105,12 @@ def _init_mid(key, ch: int):
     }
 
 
-def _mid(p, x, cfg: VAEConfig):
-    x = _resnet(p["res1"], x, cfg)
-    x = _mid_attn(p["attn"], x, cfg)
-    return _resnet(p["res2"], x, cfg)
+def _mid(p, x, cfg: VAEConfig, x_stats=None, emit_stats: bool = False,
+         epilogue_skip=None):
+    x, s = _resnet(p["res1"], x, cfg, x_stats=x_stats, emit_stats=True)
+    x = _mid_attn(p["attn"], x, cfg, x_stats=s)
+    return _resnet(p["res2"], x, cfg, emit_stats=emit_stats,
+                   epilogue_skip=epilogue_skip)
 
 
 # ---------------------------------------------------------------------------
@@ -140,16 +152,25 @@ def encoder_forward(p, cfg: VAEConfig, x) -> Tuple[jax.Array, List[jax.Array]]:
     """
     sample = L.conv2d(p["conv_in"], x)
     skips = []
+    stats = None
     for i, block in enumerate(p["down"]):
         skips.append(sample)
-        for res in block["resnets"]:
-            sample = _resnet(res, sample, cfg)
-        if "downsample" in block:
+        has_down = "downsample" in block
+        n_res = len(block["resnets"])
+        for j, res in enumerate(block["resnets"]):
+            # the downsample conv reads raw activations (no GN), so the
+            # block's last resnet only emits stats when mid comes next
+            emit = not (has_down and j == n_res - 1)
+            out = _resnet(res, sample, cfg, x_stats=stats, emit_stats=emit)
+            sample, stats = out if emit else (out, None)
+        if has_down:
             sample = L.conv2d(block["downsample"], sample, stride=2,
                               padding=[(0, 1), (0, 1)])
-    sample = _mid(p["mid"], sample, cfg)
+            stats = None
+    sample, stats = _mid(p["mid"], sample, cfg, x_stats=stats,
+                         emit_stats=True)
     sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
-                          cfg.norm_eps)
+                          cfg.norm_eps, x_stats=stats)
     sample = L.conv2d(p["conv_out"], L.silu(sample))
     return sample, skips
 
@@ -198,21 +219,35 @@ def decoder_forward(p, cfg: VAEConfig, z,
                     gamma=1.0):
     """Decode latents; if `skips` is given, fuse them through the zero-convs
     before each up-block (reference: src/model.py:36-44)."""
+    rskips = skips[::-1] if skips is not None else None
+
+    def mk_skip(i):
+        # the reference adds conv1x1(skip*gamma) before up-block i
+        # (src/model.py:36-44); here that zero-conv rides in the PRODUCING
+        # kernel's epilogue (mid res2 for block 0, the upsample kernel for
+        # blocks 1..3) so the add costs no extra HBM pass and GroupNorm
+        # stat chaining survives across it
+        if rskips is None:
+            return None
+        return {"x": rskips[i], "kernel": p["skip_convs"][i]["kernel"],
+                "gamma": gamma}
+
     sample = L.conv2d(p["conv_in"], z)
-    sample = _mid(p["mid"], sample, cfg)
+    sample, stats = _mid(p["mid"], sample, cfg, emit_stats=True,
+                         epilogue_skip=mk_skip(0))
     for i, block in enumerate(p["up"]):
-        if skips is not None:
-            skip_act = skips[::-1][i]
-            skip_in = L.conv2d(p["skip_convs"][i],
-                               skip_act * jnp.asarray(gamma, skip_act.dtype))
-            sample = sample + skip_in
-        for res in block["resnets"]:
-            sample = _resnet(res, sample, cfg)
-        if "upsample" in block:
-            sample = L.conv2d(block["upsample"],
-                              L.upsample_nearest_2x(sample))
+        has_up = "upsample" in block
+        n_res = len(block["resnets"])
+        for j, res in enumerate(block["resnets"]):
+            emit = not (has_up and j == n_res - 1)
+            out = _resnet(res, sample, cfg, x_stats=stats, emit_stats=emit)
+            sample, stats = out if emit else (out, None)
+        if has_up:
+            sample, stats = L.upsample2x_conv(block["upsample"], sample,
+                                              emit_stats=True,
+                                              skip=mk_skip(i + 1))
     sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
-                          cfg.norm_eps)
+                          cfg.norm_eps, x_stats=stats)
     sample = L.conv2d(p["conv_out"], L.silu(sample))
     return sample
 

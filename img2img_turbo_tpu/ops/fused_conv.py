@@ -1,0 +1,580 @@
+"""Fused GroupNorm(+SiLU)+3x3-conv Pallas kernel — the resnet-body engine.
+
+Round-1 profiling showed the VAE/UNet resnet bodies running far below MXU
+peak in-graph: XLA fuses each GroupNorm's reduction into the producing conv
+("convert_reduce_fusion", 118 -> 25 TFLOP/s on 512-ch small-spatial convs)
+and spends ~3 ms/call on layout copies/pads for its space-to-batch conv
+rewrites (CLAUDE.md perf findings; reference hot path
+/root/reference/src/pix2pix_turbo.py:199-203).
+
+This kernel computes `conv3x3(silu(x * a + b)) (+ bias + temb) (+ residual)`
+in one pass:
+- x streams HBM -> VMEM once per spatial tile (manual halo DMA, rows +-1),
+- normalize+SiLU happen in-register on the tile (a, b are the folded
+  GroupNorm affine per (batch, channel)),
+- the 3x3 conv runs as 9 shifted (Th*W, C) @ (C, TCo) MXU matmuls
+  accumulated in fp32,
+- the epilogue can emit per-tile sum/sum-of-squares of the OUTPUT, so the
+  NEXT GroupNorm needs no separate pass over HBM (`combine_stats` folds
+  them into its (a, b)).
+
+A full resnet block is then 2 kernel calls + 1 tiny XLA combine, with HBM
+traffic = 1 read + 1 write per conv — the speed-of-light schedule for this
+architecture.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_XBUF_BUDGET = 6 * 1024 * 1024   # 3 column-shift copies of the halo'd tile
+_W_BUDGET = 5 * 1024 * 1024      # weight block (double-buffered by pallas)
+_TOTAL_BUDGET = 13 * 1024 * 1024  # joint VMEM cap incl. ~2M headroom (16M)
+
+
+def _divisors_desc(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
+
+
+def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
+                skip_c: int = 0):
+    """(Th, TCo) fitting the VMEM budgets; divisors of H / Co.
+
+    Co-tile preference (from the v5e sweep): 128 when co is 128-divisible —
+    larger tiles gave no speedup and bigger weight blocks; otherwise the
+    FULL co as a single tile (no lane slicing happens), budget permitting.
+    """
+    if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
+        tco = 128
+    elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+        tco = co
+    else:
+        return None, None
+    wbytes = 9 * c * tco * itemsize
+    for th in _divisors_desc(h):
+        xbuf = 3 * (th + 2) * w * c * itemsize
+        # chunked fp32 prologue temporaries (3 live chunk-size arrays)
+        prologue = min(3 * (th + 2) * w * c * 4, 3 * _CHUNK_BYTES)
+        acc = th * w * tco * 4
+        io = 3 * th * w * tco * itemsize  # out + residual double buffers
+        io += 2 * th * w * skip_c * itemsize  # skip_x block, double-buffered
+        if xbuf <= _XBUF_BUDGET and \
+                xbuf + prologue + 2 * wbytes + acc + io <= _TOTAL_BUDGET:
+            return th, tco
+    return None, None
+
+
+def _pad_to_128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pad_last(arr, to: int):
+    d = to - arr.shape[-1]
+    if d == 0:
+        return arr
+    return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, d)])
+
+
+def supported(x_shape, co: int) -> bool:
+    """TPU-compilable gate: the manual halo DMA and the output pipeline
+    slice the lane (channel) dim, which Mosaic only allows at 128-aligned
+    offsets. C and Co below 128 fall back to XLA (tiny convs like
+    conv_in/conv_out); otherwise the wrapper zero-pads channels up to the
+    next 128-multiple (e.g. the UNet's 320-ch level runs at 384) — the
+    pad/slice ops double as layout adapters at the XLA<->Pallas boundary."""
+    b, h, w, c = x_shape
+    if c < 128 or co < 128 or c % 8 or co % 8:
+        return False
+    th, tco = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co), 2)
+    return th is not None and h >= 2 and w % 8 == 0
+
+
+_CHUNK_BYTES = 1024 * 1024  # fp32 prologue working-set bound (per temp)
+
+
+def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
+    """Normalize(+SiLU) the loaded tile and build its column-shift copies.
+
+    Processed in chunks of whole image rows so the fp32 temporaries (the
+    hardware rotate is 32-bit-only) stay bounded (~_CHUNK_BYTES) instead of
+    scaling with the tile — which would otherwise dominate the kernel's
+    scoped-vmem stack and force tiny tiles. The flat-roll cross-row wraps
+    (including at chunk boundaries) land on col==0 / col==tw-1 positions,
+    which are masked to the SAME-padding zero anyway.
+    """
+    i = pl.program_id(1)
+    nh = pl.num_programs(1)
+    dt = xbuf.dtype
+    chunk = max(1, min(th + 2, _CHUNK_BYTES // (4 * tw * cin)))
+    for k0 in range(0, th + 2, chunk):
+        kn = min(chunk, th + 2 - k0)
+        rc = kn * tw
+        xn = xbuf[1, pl.ds(k0, kn)].reshape(rc, cin).astype(jnp.float32)
+        if normalize:
+            bi2 = pl.program_id(0)
+            xn = xn * a_ref[bi2] + b_ref[bi2]
+            if act == "silu":
+                xn = xn * jax.nn.sigmoid(xn)
+        # image-boundary halo rows must stay ZERO post-activation
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+        if k0 == 0:
+            xn = jnp.where(jnp.logical_or(rows >= tw, i > 0), xn, 0.0)
+        if k0 + kn == th + 2:
+            xn = jnp.where(jnp.logical_or(rows < rc - tw, i < nh - 1),
+                           xn, 0.0)
+        xbuf[1, pl.ds(k0, kn)] = xn.astype(dt).reshape(kn, tw, cin)
+        # column tap dj=0 reads x[.., oj-1]: shift flat rows down by 1; the
+        # first column of each image row has no left neighbor -> zero
+        col = jax.lax.rem(rows, tw)
+        left = jnp.where(col == 0, 0.0, pltpu.roll(xn, 1, 0))
+        xbuf[0, pl.ds(k0, kn)] = left.astype(dt).reshape(kn, tw, cin)
+        right = jnp.where(col == tw - 1, 0.0, pltpu.roll(xn, rc - 1, 0))
+        xbuf[2, pl.ds(k0, kn)] = right.astype(dt).reshape(kn, tw, cin)
+
+
+def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
+            x_hbm, out_ref, stats_ref, xbuf, sem, *, th, tw, cin, tco,
+            normalize, act, emit_stats, out_dtype):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nh = pl.num_programs(1)
+    r = (th + 2) * tw  # flattened (rows-with-halo x width)
+
+    # xbuf: (3, th+2, tw, C) — three column-shift copies of the normalized
+    # tile. In row-major flattened view ((th+2)*tw, C) the conv's column
+    # taps (dj) are flat-row shifts of +-1, realized ONCE per tile with
+    # pltpu.roll + a boundary mask; the row taps (di) are then slices on
+    # the free dim 1, so the 9 matmul operands below are pure views with
+    # free reshapes (tw % 8 == 0) — no Mosaic relayouts in the inner loop.
+    @pl.when(j == 0)
+    def _load():
+        bi = pl.program_id(0)
+
+        main = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(i * th, th)],
+            xbuf.at[1, pl.ds(1, th)], sem.at[0])
+        main.start()
+
+        @pl.when(i > 0)
+        def _top():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(i * th - 1, 1)],
+                xbuf.at[1, pl.ds(0, 1)], sem.at[1])
+            cp.start()
+            cp.wait()
+
+        @pl.when(i < nh - 1)
+        def _bot():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds((i + 1) * th, 1)],
+                xbuf.at[1, pl.ds(th + 1, 1)], sem.at[2])
+            cp.start()
+            cp.wait()
+
+        main.wait()
+        _prologue(xbuf, a_ref, b_ref, th=th, tw=tw, cin=cin,
+                  normalize=normalize, act=act)
+
+    acc = jnp.zeros((th * tw, tco), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            xs = xbuf[dj, pl.ds(di, th)].reshape(th * tw, cin)
+            acc = acc + jnp.dot(xs, w_ref[di, dj],
+                                preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[0].astype(jnp.float32)
+    if eb_ref is not None:
+        # eb is carried fp32: a dynamic sublane index into packed bf16
+        # (2 rows/register) is unprovable for Mosaic; fp32 rows are exact
+        acc = acc + eb_ref[pl.program_id(0)]
+    if sk_ref is not None:
+        # epilogue 1x1-conv skip fusion (VAE skip-decoder zero-convs):
+        # y += skip_x @ skip_w, so the XLA add+conv passes (and their HBM
+        # round trips) disappear and the emitted stats stay chainable
+        csk = sk_ref.shape[-1]
+        acc = acc + jnp.dot(sk_ref[0].reshape(th * tw, csk), skw_ref[...],
+                            preferred_element_type=jnp.float32)
+    y = acc.reshape(th, tw, tco)
+    if res_ref is not None:
+        y = y + res_ref[0].astype(jnp.float32)
+    yo = y.astype(out_dtype)
+    out_ref[0] = yo
+    if emit_stats:
+        yf = yo.astype(jnp.float32)
+        stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                     jnp.sum(yf * yf, axis=(0, 1))])
+
+
+@functools.partial(jax.jit, static_argnames=("act", "emit_stats",
+                                             "interpret"))
+def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
+                          residual=None, skip_x=None, skip_w=None,
+                          act: str = "silu", emit_stats: bool = False,
+                          interpret: bool = False):
+    """y = conv3x3_same(act(x*a + b)) + bias [+ extra_bias] [+ residual]
+    [+ skip_x @ skip_w].
+
+    x: (B, H, W, C); w: (3, 3, C, Co); bias: (Co,);
+    a, b: (B, C) folded GroupNorm affine (None -> raw x, no activation);
+    extra_bias: (B, Co) (the UNet resnet's projected time embedding);
+    residual: (B, H, W, Co) added to the conv output (resnet skip);
+    skip_x (B, H, W, Csk) / skip_w (Csk, Co): an epilogue 1x1 conv added to
+    the output (the skip-decoder's zero-conv fusion, gamma folded into
+    skip_w by the caller);
+    emit_stats: also return per-tile output sums (B, n_tiles, 2, Co) for
+    `combine_stats` — the next GroupNorm's statistics ride along for free.
+    """
+    bsz, h, wd, c = x.shape
+    co_real = w.shape[-1]
+    # zero-pad channels to 128-multiples (Mosaic lane alignment); a=b=0 on
+    # pad channels keeps the normalized+activated pad at exactly 0, and
+    # zero weight rows/cols make the padding semantically inert
+    c_pad = _pad_to_128(c)
+    co = _pad_to_128(co_real)
+    if c_pad != c or co != co_real:
+        x = _pad_last(x, c_pad)
+        w = jnp.pad(w, [(0, 0), (0, 0), (0, c_pad - c),
+                        (0, co - co_real)])
+        bias = _pad_last(bias, co)
+        if a is not None:
+            a = _pad_last(a, c_pad)
+            b = _pad_last(b, c_pad)
+        if extra_bias is not None:
+            extra_bias = _pad_last(extra_bias, co)
+        if residual is not None:
+            residual = _pad_last(residual, co)
+        if skip_w is not None:
+            skip_w = _pad_last(skip_w, co)
+        c = c_pad
+    if skip_x is not None and skip_x.shape[-1] % 128:
+        pad_sk = _pad_to_128(skip_x.shape[-1])
+        skip_x = _pad_last(skip_x, pad_sk)
+        skip_w = jnp.pad(skip_w, [(0, pad_sk - skip_w.shape[0]), (0, 0)])
+    csk = 0 if skip_x is None else skip_x.shape[-1]
+    th, tco = _pick_tiles(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
+    assert th is not None, f"unsupported shape {x.shape} -> {co}"
+    nh, nco = h // th, co // tco
+    normalize = a is not None
+    if normalize:
+        a2 = a.astype(jnp.float32)
+        b2 = b.astype(jnp.float32)
+    else:
+        a2 = jnp.zeros((bsz, c), jnp.float32)  # unused placeholder
+        b2 = jnp.zeros((bsz, c), jnp.float32)
+    bias2 = bias.reshape(1, co)
+
+    in_specs = [
+        pl.BlockSpec((bsz, c), lambda bb, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, c), lambda bb, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, c, tco), lambda bb, i, j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tco), lambda bb, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [a2, b2, w, bias2]
+    if extra_bias is not None:
+        in_specs.append(pl.BlockSpec((bsz, tco), lambda bb, i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(extra_bias.astype(jnp.float32))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, th, wd, tco),
+                                     lambda bb, i, j: (bb, i, 0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    if skip_x is not None:
+        in_specs.append(pl.BlockSpec((1, th, wd, csk),
+                                     lambda bb, i, j: (bb, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(skip_x)
+        in_specs.append(pl.BlockSpec((csk, tco), lambda bb, i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(skip_w.astype(x.dtype))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    args.append(x)
+
+    out_shapes = [jax.ShapeDtypeStruct((bsz, h, wd, co), x.dtype)]
+    out_specs = [pl.BlockSpec((1, th, wd, tco),
+                              lambda bb, i, j: (bb, i, 0, j),
+                              memory_space=pltpu.VMEM)]
+    if emit_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 2, tco),
+                                      lambda bb, i, j: (bb, i, 0, j),
+                                      memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        pos = 4
+        eb = refs[pos] if extra_bias is not None else None
+        pos += extra_bias is not None
+        res = refs[pos] if residual is not None else None
+        pos += residual is not None
+        sk = refs[pos] if skip_x is not None else None
+        skw = refs[pos + 1] if skip_x is not None else None
+        pos += 2 * (skip_x is not None)
+        x_hbm = refs[pos]
+        out_ref = refs[pos + 1]
+        stats_ref = refs[pos + 2] if emit_stats else None
+        xbuf, sem = refs[-2], refs[-1]
+        _kernel(refs[0], refs[1], refs[2], refs[3], eb, res, sk, skw,
+                x_hbm, out_ref, stats_ref, xbuf, sem, th=th, tw=wd, cin=c,
+                tco=tco, normalize=normalize, act=act,
+                emit_stats=emit_stats, out_dtype=x.dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh, nco),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shapes if emit_stats else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2, wd, c), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wd * 9 * c * co,
+            transcendentals=bsz * h * wd * c if normalize else 0,
+            bytes_accessed=(bsz * h * wd * (c + co) * x.dtype.itemsize
+                            + 9 * c * co * w.dtype.itemsize)),
+        interpret=interpret,
+    )(*args)
+    y, stats = outs if emit_stats else (outs, None)
+    if co != co_real:
+        y = y[..., :co_real]
+        if stats is not None:
+            stats = stats[..., :co_real]
+    return y, stats
+
+
+# ---------------------------------------------------------------------------
+# Nearest-2x-upsample + conv3x3, phase-decomposed
+# ---------------------------------------------------------------------------
+
+
+def _fold_upsample_weights(w):
+    """(3,3,C,Co) -> (2,2,2,2,C,Co) per-phase 2x2 taps on the LOW-RES input.
+
+    conv3x3 on nearest-2x-upsampled x satisfies, for output pixel
+    (2i+a, 2j+b): the three row taps collapse onto input rows {i-1, i}
+    (a=0) or {i, i+1} (a=1) with summed weights — and likewise for
+    columns. So the whole op is 4 phase convs with 2x2 kernels on x
+    directly: 2.25x fewer FLOPs than conv on the upsampled tensor, and x
+    is read at low resolution (4x less HBM).
+    """
+    # fold rows: wr[a, p, j, c, co]
+    wr0 = jnp.stack([w[0], w[1] + w[2]])          # a=0: rows (i-1, i)
+    wr1 = jnp.stack([w[0] + w[1], w[2]])          # a=1: rows (i, i+1)
+    wr = jnp.stack([wr0, wr1])                    # (2, 2, 3, C, Co)
+    # fold cols: wf[a, b, p, q, c, co]
+    wc0 = jnp.stack([wr[:, :, 0], wr[:, :, 1] + wr[:, :, 2]], axis=2)
+    wc1 = jnp.stack([wr[:, :, 0] + wr[:, :, 1], wr[:, :, 2]], axis=2)
+    return jnp.stack([wc0, wc1], axis=1)          # (2[a], 2[b], 2[p], 2[q], C, Co)
+
+
+def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
+                   skip_c: int = 0):
+    if co % 128 == 0 and 16 * c * 128 * itemsize <= _W_BUDGET:
+        tco = 128
+    elif 16 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+        tco = co
+    else:
+        return None, None
+    wbytes = 16 * c * tco * itemsize
+    for th in _divisors_desc(h):
+        xbuf = 3 * (th + 2) * w * c * itemsize
+        prologue = min(3 * (th + 2) * w * c * 4, 3 * _CHUNK_BYTES)
+        acc = 4 * th * w * tco * 4
+        # out block (2th, 2w, tco) double-buffered + the in-register
+        # interleave temporaries (~2 fp32 copies of the tile)
+        io = 8 * th * w * tco * itemsize + 8 * th * w * tco * 4
+        io += 8 * th * w * skip_c * itemsize  # skip block, double-buffered
+        if xbuf <= _XBUF_BUDGET and \
+                xbuf + prologue + 2 * wbytes + acc + io <= _TOTAL_BUDGET:
+            return th, tco
+    return None, None
+
+
+def upsample_supported(x_shape, co: int) -> bool:
+    b, h, w, c = x_shape
+    if c % 128 or co % 128:
+        return False
+    th, tco = _pick_tiles_up(h, w, c, co, 2)
+    return th is not None and h >= 2 and w % 8 == 0
+
+
+def _up_kernel(w_ref, bias_ref, sk_ref, skw_ref, x_hbm, out_ref, stats_ref,
+               xbuf, sem, *, th, tw, cin, tco, out_dtype, emit_stats):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nh = pl.num_programs(1)
+    r = (th + 2) * tw
+
+    @pl.when(j == 0)
+    def _load():
+        bi = pl.program_id(0)
+        main = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(i * th, th)],
+            xbuf.at[1, pl.ds(1, th)], sem.at[0])
+        main.start()
+
+        @pl.when(i > 0)
+        def _top():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(i * th - 1, 1)],
+                xbuf.at[1, pl.ds(0, 1)], sem.at[1])
+            cp.start()
+            cp.wait()
+
+        @pl.when(i < nh - 1)
+        def _bot():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds((i + 1) * th, 1)],
+                xbuf.at[1, pl.ds(th + 1, 1)], sem.at[2])
+            cp.start()
+            cp.wait()
+
+        main.wait()
+        _prologue(xbuf, None, None, th=th, tw=tw, cin=cin,
+                  normalize=False, act=None)
+
+    bias = bias_ref[0].astype(jnp.float32)
+    phases = []
+    for a in range(2):
+        for b2 in range(2):
+            acc = jnp.zeros((th * tw, tco), jnp.float32)
+            for p in range(2):
+                for q in range(2):
+                    # row offset: a=0 -> {-1, 0}; a=1 -> {0, +1} (xbuf rows
+                    # are global rows s-1+k, so di = a + p); col shift
+                    # likewise dj = b + q indexes (left, center, right)
+                    xs = xbuf[b2 + q, pl.ds(a + p, th)].reshape(th * tw, cin)
+                    acc = acc + jnp.dot(xs, w_ref[a, b2, p, q],
+                                        preferred_element_type=jnp.float32)
+            phases.append((acc + bias).reshape(th, tw, tco)
+                          .astype(out_dtype))
+    # interleave in VMEM: out[2t+a, 2s+b] = phase[2a+b][t, s] — a tile-local
+    # relayout instead of an XLA full-tensor reshape copy
+    r0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(th, 2 * tw, tco)
+    r1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(th, 2 * tw, tco)
+    out = jnp.stack([r0, r1], axis=1).reshape(2 * th, 2 * tw, tco)
+    if sk_ref is not None:
+        # epilogue 1x1-conv skip fusion at output resolution
+        csk = sk_ref.shape[-1]
+        skm = jnp.dot(sk_ref[0].reshape(4 * th * tw, csk), skw_ref[...],
+                      preferred_element_type=jnp.float32)
+        out = out + skm.reshape(2 * th, 2 * tw, tco).astype(out_dtype)
+    out_ref[0] = out
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        stats_ref[0, 0] = jnp.stack([jnp.sum(of, axis=(0, 1)),
+                                     jnp.sum(of * of, axis=(0, 1))])
+
+
+@functools.partial(jax.jit, static_argnames=("emit_stats", "interpret"))
+def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
+                       emit_stats: bool = False, interpret: bool = False):
+    """conv3x3_same(nearest_upsample_2x(x)) + bias as 4 phase convs.
+
+    x: (B, H, W, C); w: (3,3,C,Co); returns ((B, 2H, 2W, Co), stats) where
+    stats is (B, n_tiles, 2, Co) output partial sums when emit_stats (for
+    combine_stats chaining into the next GroupNorm) else None.
+    skip_x (B, 2H, 2W, Csk) / skip_w (Csk, Co): epilogue 1x1-conv skip
+    added to the output (gamma folded into skip_w by the caller).
+    """
+    bsz, h, wd, c = x.shape
+    co = w.shape[-1]
+    csk = 0 if skip_x is None else skip_x.shape[-1]
+    th, tco = _pick_tiles_up(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
+    assert th is not None, f"unsupported shape {x.shape} -> {co}"
+    nh, nco = h // th, co // tco
+    wf = _fold_upsample_weights(w.astype(x.dtype))
+    bias2 = bias.reshape(1, co)
+
+    in_specs = [
+        pl.BlockSpec((2, 2, 2, 2, c, tco), lambda bb, i, j: (0, 0, 0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tco), lambda bb, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wf, bias2]
+    if skip_x is not None:
+        in_specs.append(pl.BlockSpec((1, 2 * th, 2 * wd, csk),
+                                     lambda bb, i, j: (bb, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(skip_x)
+        in_specs.append(pl.BlockSpec((csk, tco), lambda bb, i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(skip_w.astype(x.dtype))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    args.append(x)
+    out_specs = [pl.BlockSpec((1, 2 * th, 2 * wd, tco),
+                              lambda bb, i, j: (bb, i, 0, j),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, 2 * h, 2 * wd, co), x.dtype)]
+    if emit_stats:
+        out_specs.append(pl.BlockSpec((1, 1, 2, tco),
+                                      lambda bb, i, j: (bb, i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
+
+    def kernel(*refs):
+        pos = 2
+        sk = refs[pos] if skip_x is not None else None
+        skw = refs[pos + 1] if skip_x is not None else None
+        pos += 2 * (skip_x is not None)
+        x_hbm = refs[pos]
+        out_ref = refs[pos + 1]
+        stats_ref = refs[pos + 2] if emit_stats else None
+        xbuf, sem = refs[-2], refs[-1]
+        _up_kernel(refs[0], refs[1], sk, skw, x_hbm, out_ref, stats_ref,
+                   xbuf, sem, th=th, tw=wd, cin=c, tco=tco,
+                   out_dtype=x.dtype, emit_stats=emit_stats)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh, nco),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shapes if emit_stats else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2, wd, c), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wd * 16 * c * co,
+            transcendentals=0,
+            bytes_accessed=(bsz * h * wd * (c + 4 * co) * x.dtype.itemsize
+                            + 16 * c * co * w.dtype.itemsize)),
+        interpret=interpret,
+    )(*args)
+    return outs if emit_stats else (outs, None)
+
+
+def combine_stats(partials, scale, bias, num_groups: int, eps: float,
+                  count: int):
+    """(B, n_tiles, 2, C) partial sums -> folded GroupNorm affine (a, b).
+
+    count = number of elements per channel (H*W of the stats source).
+    """
+    bsz, _, _, c = partials.shape
+    cg = c // num_groups
+    sums = jnp.sum(partials, axis=1)                       # (B, 2, C)
+    g = jnp.sum(sums.reshape(bsz, 2, num_groups, cg), axis=-1)
+    n = count * cg
+    mean = g[:, 0] / n
+    var = jnp.maximum(g[:, 1] / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    scale_g = scale.astype(jnp.float32).reshape(num_groups, cg)
+    bias_g = bias.astype(jnp.float32).reshape(num_groups, cg)
+    a = inv[..., None] * scale_g[None]
+    bterm = bias_g[None] - mean[..., None] * a
+    return a.reshape(bsz, c), bterm.reshape(bsz, c)

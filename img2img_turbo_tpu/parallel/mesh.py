@@ -55,6 +55,12 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     assert n_data * n_model <= len(devices), (
         f"requested {n_data}x{n_model} mesh but only {len(devices)} devices")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if n_data * n_model > 1:
+        # Pallas calls are not partitionable by XLA's SPMD pass; multi-device
+        # programs must trace the pure-XLA layer paths (models/layers.py
+        # FUSED_KERNELS). Single-chip serving re-enables them explicitly.
+        from img2img_turbo_tpu.models import layers
+        layers.set_fused_kernels(False)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

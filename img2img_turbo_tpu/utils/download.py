@@ -63,3 +63,38 @@ def get_checkpoint(name: str, ckpt_folder: str = "checkpoints") -> str:
             f"checkpoint {outf} not found and download failed ({e}); "
             f"fetch {BASE_URL}{fname} on a machine with network access and "
             f"place it at {outf}") from e
+
+
+CLIP_TOKENIZER_URLS = {
+    # the sd-turbo tokenizer the reference loads via AutoTokenizer
+    # (reference src/pix2pix_turbo.py:32); plain HTTPS, no hub client needed
+    "vocab.json": ("https://huggingface.co/stabilityai/sd-turbo/"
+                   "resolve/main/tokenizer/vocab.json"),
+    "merges.txt": ("https://huggingface.co/stabilityai/sd-turbo/"
+                   "resolve/main/tokenizer/merges.txt"),
+}
+
+
+def get_clip_tokenizer(dest: str = "checkpoints/clip_tokenizer") -> str:
+    """Fetch the CLIP tokenizer files (vocab.json + merges.txt) to `dest`.
+
+    Offline fallback: CLIPTokenizer.from_dir(dest) also accepts a lone
+    merges file — including OpenAI's bpe_simple_vocab_16e6.txt.gz — and
+    derives the vocabulary from it (models/tokenizer.vocab_from_merges),
+    so any locally available CLIP BPE merge list unblocks tokenization.
+    """
+    os.makedirs(dest, exist_ok=True)
+    have_any = any(
+        os.path.exists(os.path.join(dest, f))
+        for f in ("vocab.json", "merges.txt", "merges.txt.gz",
+                  "bpe_simple_vocab_16e6.txt.gz"))
+    try:
+        for fname, url in CLIP_TOKENIZER_URLS.items():
+            download_url(url, os.path.join(dest, fname))
+    except Exception as e:
+        if not have_any:
+            raise RuntimeError(
+                f"could not download the CLIP tokenizer ({e}); place "
+                f"vocab.json+merges.txt (or a CLIP BPE merges file such as "
+                f"bpe_simple_vocab_16e6.txt.gz) in {dest}") from e
+    return dest

@@ -188,3 +188,157 @@ class TestFlashAttention:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-4)
+
+
+class TestGroupNormCoeffs:
+    """Pallas GN stats kernel (interpret mode) vs the XLA two-pass path."""
+
+    @pytest.mark.parametrize("shape,ng", [((2, 8, 16, 32), 8),
+                                          ((1, 64, 64, 128), 32),
+                                          ((2, 48, 16), 4)])
+    def test_folded_affine_matches_xla(self, shape, ng):
+        from img2img_turbo_tpu.models import layers as L
+        from img2img_turbo_tpu.ops.groupnorm import group_norm_coeffs
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32)) * 3 + 1
+        c = shape[-1]
+        scale = jnp.asarray(1 + 0.2 * rng.randn(c).astype(np.float32))
+        bias = jnp.asarray(0.2 * rng.randn(c).astype(np.float32))
+        a, b = group_norm_coeffs(x, scale, bias, ng, 1e-6, interpret=True)
+        bcast = (shape[0],) + (1,) * (len(shape) - 2) + (c,)
+        y = x * a.reshape(bcast) + b.reshape(bcast)
+        y_ref = L._gn_xla(x.reshape(shape[0], -1, 1, c),
+                          scale, bias, ng, 1e-6).reshape(shape)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_supported_gates(self):
+        from img2img_turbo_tpu.ops import groupnorm
+
+        assert groupnorm.supported(jnp.zeros((1, 64, 64, 128)), 32)
+        assert not groupnorm.supported(jnp.zeros((1, 7, 9, 30)), 4)
+        assert not groupnorm.supported(jnp.zeros((8, 128)), 4)
+
+
+class TestFusedConvHelpers:
+    """CPU-checkable math of ops/fused_conv.py (the Pallas kernels
+    themselves require a real TPU; scripts/bench_fused_conv.py covers
+    them there)."""
+
+    def test_combine_stats_matches_direct_groupnorm_affine(self):
+        from img2img_turbo_tpu.models import layers as L
+        from img2img_turbo_tpu.ops.fused_conv import combine_stats
+
+        rng = np.random.RandomState(1)
+        b, h, w, c, ng = 2, 8, 8, 32, 8
+        y = rng.randn(b, h, w, c).astype(np.float32) * 2 + 0.5
+        # per-tile partials over 2 row-tiles of 4 rows each
+        parts = np.stack([
+            np.stack([y[:, :4].sum((1, 2)), (y[:, :4] ** 2).sum((1, 2))], 1),
+            np.stack([y[:, 4:].sum((1, 2)), (y[:, 4:] ** 2).sum((1, 2))], 1),
+        ], axis=1)  # (B, 2, 2, C)
+        scale = 1 + 0.1 * rng.randn(c).astype(np.float32)
+        bias = 0.1 * rng.randn(c).astype(np.float32)
+        a, bt = combine_stats(jnp.asarray(parts), jnp.asarray(scale),
+                              jnp.asarray(bias), ng, 1e-6, count=h * w)
+        got = y * np.asarray(a)[:, None, None] + np.asarray(bt)[:, None, None]
+        want = np.asarray(L._gn_xla(jnp.asarray(y), jnp.asarray(scale),
+                                    jnp.asarray(bias), ng, 1e-6))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_upsample_weight_fold_phase_decomposition(self):
+        """conv3x3(nearest2x(x)) == interleaved 2x2 phase convs with the
+        folded weights — the math upsample2x_conv3x3 implements."""
+        from img2img_turbo_tpu.models import layers as L
+        from img2img_turbo_tpu.ops.fused_conv import _fold_upsample_weights
+
+        rng = np.random.RandomState(2)
+        b, h, w, c, co = 2, 6, 5, 8, 16
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        wk = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32) * 0.2)
+        cb = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+        want = L.conv2d({"kernel": wk, "bias": cb}, L.upsample_nearest_2x(x))
+
+        wf = _fold_upsample_weights(wk)  # (2,2,2,2,C,Co)
+        phases = [[None, None], [None, None]]
+        for a in range(2):
+            for bb in range(2):
+                y = jax.lax.conv_general_dilated(
+                    x, wf[a, bb],
+                    window_strides=(1, 1),
+                    padding=[(1 - a, a), (1 - bb, bb)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                phases[a][bb] = y + cb
+        r0 = jnp.stack([phases[0][0], phases[0][1]], axis=3)
+        r1 = jnp.stack([phases[1][0], phases[1][1]], axis=3)
+        got = jnp.stack([r0, r1], axis=2).reshape(b, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_supported_gates(self):
+        from img2img_turbo_tpu.ops import fused_conv
+
+        # resnet-body shapes
+        assert fused_conv.supported((1, 64, 64, 512), 512)
+        assert fused_conv.supported((8, 64, 64, 512), 512)
+        assert fused_conv.supported((1, 16, 16, 1280), 1280)
+        # non-128-multiple channels >= 128 run zero-padded to the next
+        # multiple (UNet level 0); tiny convs (conv_in/out) fall back
+        assert fused_conv.supported((1, 64, 64, 320), 320)
+        assert fused_conv.supported((1, 64, 64, 960), 640)
+        assert not fused_conv.supported((1, 64, 64, 4), 512)
+        assert not fused_conv.supported((1, 512, 512, 128), 3)
+        # 2560-ch concat exceeds the weight budget (split by the caller)
+        assert not fused_conv.supported((1, 16, 16, 2560), 1280)
+        assert fused_conv.upsample_supported((1, 128, 128, 512), 512)
+        assert not fused_conv.upsample_supported((1, 64, 64, 320), 320)
+
+    def test_gn_silu_conv_fallback_matches_composition(self):
+        from img2img_turbo_tpu.models import layers as L
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+        gn = {"scale": jnp.asarray(1 + 0.1 * rng.randn(32).astype(np.float32)),
+              "bias": jnp.asarray(0.1 * rng.randn(32).astype(np.float32))}
+        conv = {"kernel": jnp.asarray(rng.randn(3, 3, 32, 16).astype(np.float32) * 0.1),
+                "bias": jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)}
+        eb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+        res = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+        got = L.gn_silu_conv(gn, conv, x, 8, 1e-6, extra_bias=eb,
+                             residual=res)
+        want = L.conv2d(conv, L.silu(L.group_norm(gn, x, 8, 1e-6)))
+        want = want + eb[:, None, None, :] + res
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestFlashBackwardKernel:
+    """Dedicated Pallas backward (flash_attention_folded_bwd) vs XLA grads,
+    in TPU-interpret mode. Covers multi-block KV, ragged Sq, multi-head."""
+
+    @pytest.mark.parametrize("sq,skv,heads", [(256, 256, 2), (260, 260, 2),
+                                              (384, 131, 4)])
+    def test_grads_match_xla(self, sq, skv, heads):
+        from jax.experimental.pallas import tpu as pltpu
+        from img2img_turbo_tpu.ops.attention import _mha_flash, _mha_xla
+
+        rng = np.random.RandomState(7)
+        d = heads * 64
+        q = jnp.asarray(rng.randn(2, sq, d).astype(np.float32) * 0.5)
+        k = jnp.asarray(rng.randn(2, skv, d).astype(np.float32) * 0.5)
+        v = jnp.asarray(rng.randn(2, skv, d).astype(np.float32))
+        w = jnp.asarray(rng.randn(2, sq, d).astype(np.float32))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(_mha_flash(q, k, v, heads) * w)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(_mha_xla(q, k, v, heads) * w)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)

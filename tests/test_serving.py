@@ -121,3 +121,58 @@ class TestDemos:
             pytest.skip("gradio installed")
         with pytest.raises(RuntimeError, match="gradio is not installed"):
             demo_mod.launch_canny_demo(pipe)
+
+
+class TestWebDemo:
+    """Headless smoke of the standalone (gradio-free) canvas demo server."""
+
+    def test_page_and_sketch_api_roundtrip(self, request):
+        import base64
+        import io
+        import json
+        import urllib.request
+
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from img2img_turbo_tpu.models import unet as unet_mod
+        from img2img_turbo_tpu.serving import web_demo
+
+        # build the tiny stochastic pipe inline (mirrors TestDemos.pipe)
+        cfgs = p2p.GeneratorConfigs(unet=configs.TINY_UNET,
+                                    vae=configs.TINY_VAE,
+                                    text=configs.TINY_TEXT)
+        pipe = p2p.Pix2PixTurbo.from_random(jax.random.PRNGKey(0),
+                                            cfgs=cfgs).merge()
+        d = cfgs.unet.cross_attention_dim
+        pipe._prompt_cache = {}
+        pipe.encode_prompt = lambda prompt: jnp.zeros((1, 77, d))
+        pipe.base["unet"] = unet_mod.make_twin_conv_in(pipe.base["unet"])
+
+        server, port = web_demo.launch_in_thread(pipe)
+        try:
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+            # the reference demo's tool surface, served without gradio
+            for control in ("pencil", "eraser", "undo", "clear",
+                            "dl-sketch", "dl-output", "rand", "Fantasy art"):
+                assert control in page
+
+            img = Image.new("RGB", (64, 64), "white")
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data_url = ("data:image/png;base64,"
+                        + base64.b64encode(buf.getvalue()).decode())
+            body = json.dumps({"image": data_url, "prompt": "a cat",
+                               "style": "Anime", "seed": 3, "r": 0.5}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/sketch", data=body,
+                headers={"Content-Type": "application/json"})
+            out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+            assert "image" in out, out
+            out_img = Image.open(io.BytesIO(
+                base64.b64decode(out["image"].split(",", 1)[1])))
+            assert out_img.size == (64, 64)
+        finally:
+            server.shutdown()

@@ -85,3 +85,24 @@ def test_batch_shape(vocab_dir):
     out = tok(["hello", "world hello cat"], max_length=77)
     assert out.shape == (2, 77)
     assert out.dtype == np.int32
+
+
+def test_from_dir_with_merges_only_matches_full_pair(vocab_dir, tmp_path):
+    """vocab.json is derivable from the merge list (OpenAI simple_tokenizer
+    construction); a merges-only directory must tokenize identically."""
+    import shutil
+
+    from img2img_turbo_tpu.models.tokenizer import vocab_from_merges
+
+    derived = vocab_from_merges(vocab_dir + "/merges.txt")
+    with open(vocab_dir + "/vocab.json") as f:
+        full = json.load(f)
+    assert derived == full
+
+    d = tmp_path / "merges_only"
+    d.mkdir()
+    shutil.copy(vocab_dir + "/merges.txt", d / "merges.txt")
+    ours = CLIPTokenizer.from_dir(str(d), pad_token="!")
+    ref = CLIPTokenizer.from_dir(vocab_dir, pad_token="!")
+    for p in PROMPTS:
+        np.testing.assert_array_equal(ours(p), ref(p))
