@@ -399,6 +399,98 @@ def upsample2x_conv(conv_p, x, emit_stats: bool = False, skip=None):
     return (y, None) if emit_stats else y
 
 
+@functools.lru_cache(maxsize=None)
+def _make_fused_downconv(pad_lo: int, emit_stats: bool):
+    from img2img_turbo_tpu.ops import fused_conv
+
+    def xla_impl(x, w, cb):
+        return conv2d({"kernel": w, "bias": cb}, x, stride=2,
+                      padding=[(pad_lo, 1), (pad_lo, 1)])
+
+    def impl(x, w, cb):
+        y, stats = fused_conv.downsample2x_conv3x3(
+            x, w, cb, pad_lo=pad_lo, emit_stats=emit_stats)
+        return (y, stats) if emit_stats else y
+
+    @jax.custom_vjp
+    def f(x, w, cb):
+        return impl(x, w, cb)
+
+    def fwd(x, w, cb):
+        return impl(x, w, cb), (x, w, cb)
+
+    def bwd(saved, g):
+        gy = g[0] if emit_stats else g
+        _, vjp = jax.vjp(xla_impl, *saved)
+        return vjp(gy)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_plainconv(emit_stats: bool):
+    from img2img_turbo_tpu.ops import fused_conv
+
+    def xla_impl(x, w, cb):
+        return conv2d({"kernel": w, "bias": cb}, x)
+
+    def impl(x, w, cb):
+        y, stats = fused_conv.fused_gn_silu_conv3x3(
+            x, w, cb, emit_stats=emit_stats)
+        return (y, stats) if emit_stats else y
+
+    @jax.custom_vjp
+    def f(x, w, cb):
+        return impl(x, w, cb)
+
+    def fwd(x, w, cb):
+        return impl(x, w, cb), (x, w, cb)
+
+    def bwd(saved, g):
+        gy = g[0] if emit_stats else g
+        _, vjp = jax.vjp(xla_impl, *saved)
+        return vjp(gy)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def plain_conv3x3(conv_p, x, emit_stats: bool = False):
+    """Stride-1 SAME conv3x3 without a norm prologue (conv_in / conv_out
+    class). Pallas on TPU (with channel padding for tiny C/Co) so the op
+    neither degrades nor gets degraded at Pallas boundaries; XLA elsewhere.
+    """
+    kernel = conv_p["kernel"]
+    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
+        from img2img_turbo_tpu.ops import fused_conv
+        if fused_conv.supported(x.shape, kernel.shape[-1]):
+            f = _make_fused_plainconv(emit_stats)
+            return f(x, kernel.astype(x.dtype),
+                     conv_p["bias"].astype(x.dtype))
+    y = conv2d(conv_p, x)
+    return (y, None) if emit_stats else y
+
+
+def downsample2x_conv(conv_p, x, pad_lo: int, emit_stats: bool = False):
+    """Stride-2 conv3x3 (VAE encoder pad_lo=0, UNet downsample pad_lo=1).
+
+    On TPU: a phase-decomposed Pallas kernel (ops/fused_conv.
+    downsample2x_conv3x3) — keeps the downsample off XLA's conv fuser,
+    whose schedule collapses at Pallas boundaries, and can emit output
+    stats for GN chaining. Elsewhere: the strided XLA conv.
+    """
+    kernel = conv_p["kernel"]
+    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
+        from img2img_turbo_tpu.ops import fused_conv
+        if fused_conv.downsample_supported(x.shape, kernel.shape[-1]):
+            f = _make_fused_downconv(pad_lo, emit_stats)
+            return f(x, kernel.astype(x.dtype),
+                     conv_p["bias"].astype(x.dtype))
+    y = conv2d(conv_p, x, stride=2, padding=[(pad_lo, 1), (pad_lo, 1)])
+    return (y, None) if emit_stats else y
+
+
 def gn_silu_conv(gn_p, conv_p, x, num_groups: int, eps: float,
                  extra_bias=None, residual=None, x_stats=None,
                  emit_stats: bool = False, skip=None):

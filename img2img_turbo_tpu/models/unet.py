@@ -287,11 +287,11 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
     if "pretrained" in conv_in:
         assert r is not None, "TwinConv requires the blend factor r"
         r = jnp.asarray(r, x.dtype)
-        x1 = jax.lax.stop_gradient(L.conv2d(conv_in["pretrained"], x))
-        x2 = L.conv2d(conv_in["current"], x)
+        x1 = jax.lax.stop_gradient(L.plain_conv3x3(conv_in["pretrained"], x))
+        x2 = L.plain_conv3x3(conv_in["current"], x)
         sample = x1 * (1.0 - r) + x2 * r
     else:
-        sample = L.conv2d(conv_in, x)
+        sample = L.plain_conv3x3(conv_in, x)
 
     def run_down_block(block, sample, temb, context):
         outs = []
@@ -310,8 +310,8 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
                 stats = None
             outs.append(sample)
         if "downsample" in block:
-            sample = L.conv2d(block["downsample"], sample, stride=2,
-                              padding=[(1, 1), (1, 1)])
+            sample = L.downsample2x_conv(block["downsample"], sample,
+                                         pad_lo=1)
             outs.append(sample)
         return sample, outs
 
@@ -377,9 +377,8 @@ def unet_forward(params, cfg: UNetConfig, x, timesteps, context,
         sample = run_up_block(block, sample, res_samples, temb, context,
                               upsample_size)
 
-    sample = L.group_norm(params["norm_out"], sample, cfg.norm_num_groups,
-                          cfg.norm_eps)
-    sample = L.conv2d(params["conv_out"], L.silu(sample))
+    sample = L.gn_silu_conv(params["norm_out"], params["conv_out"], sample,
+                            cfg.norm_num_groups, cfg.norm_eps)
     return sample
 
 

@@ -150,9 +150,8 @@ def encoder_forward(p, cfg: VAEConfig, x) -> Tuple[jax.Array, List[jax.Array]]:
     skips[i] is the *input* activation of down-block i, matching the
     reference's `current_down_blocks` tap (src/model.py:17-22).
     """
-    sample = L.conv2d(p["conv_in"], x)
+    sample, stats = L.plain_conv3x3(p["conv_in"], x, emit_stats=True)
     skips = []
-    stats = None
     for i, block in enumerate(p["down"]):
         skips.append(sample)
         has_down = "downsample" in block
@@ -164,14 +163,13 @@ def encoder_forward(p, cfg: VAEConfig, x) -> Tuple[jax.Array, List[jax.Array]]:
             out = _resnet(res, sample, cfg, x_stats=stats, emit_stats=emit)
             sample, stats = out if emit else (out, None)
         if has_down:
-            sample = L.conv2d(block["downsample"], sample, stride=2,
-                              padding=[(0, 1), (0, 1)])
-            stats = None
+            sample, stats = L.downsample2x_conv(block["downsample"], sample,
+                                                pad_lo=0, emit_stats=True)
     sample, stats = _mid(p["mid"], sample, cfg, x_stats=stats,
                          emit_stats=True)
-    sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
-                          cfg.norm_eps, x_stats=stats)
-    sample = L.conv2d(p["conv_out"], L.silu(sample))
+    sample = L.gn_silu_conv(p["norm_out"], p["conv_out"], sample,
+                            cfg.norm_num_groups, cfg.norm_eps,
+                            x_stats=stats)
     return sample, skips
 
 
@@ -232,9 +230,9 @@ def decoder_forward(p, cfg: VAEConfig, z,
         return {"x": rskips[i], "kernel": p["skip_convs"][i]["kernel"],
                 "gamma": gamma}
 
-    sample = L.conv2d(p["conv_in"], z)
-    sample, stats = _mid(p["mid"], sample, cfg, emit_stats=True,
-                         epilogue_skip=mk_skip(0))
+    sample, stats = L.plain_conv3x3(p["conv_in"], z, emit_stats=True)
+    sample, stats = _mid(p["mid"], sample, cfg, x_stats=stats,
+                         emit_stats=True, epilogue_skip=mk_skip(0))
     for i, block in enumerate(p["up"]):
         has_up = "upsample" in block
         n_res = len(block["resnets"])
@@ -246,9 +244,9 @@ def decoder_forward(p, cfg: VAEConfig, z,
             sample, stats = L.upsample2x_conv(block["upsample"], sample,
                                               emit_stats=True,
                                               skip=mk_skip(i + 1))
-    sample = L.group_norm(p["norm_out"], sample, cfg.norm_num_groups,
-                          cfg.norm_eps, x_stats=stats)
-    sample = L.conv2d(p["conv_out"], L.silu(sample))
+    sample = L.gn_silu_conv(p["norm_out"], p["conv_out"], sample,
+                            cfg.norm_num_groups, cfg.norm_eps,
+                            x_stats=stats)
     return sample
 
 

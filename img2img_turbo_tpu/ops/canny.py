@@ -33,19 +33,24 @@ _SOBEL_Y = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32)
 
 
 def _sobel_all_channels(x):
-    """x: (B, H, W, C) -> (gx, gy) each (B, H, W, C), REFLECT_101 pad,
-    one fused conv with C*2 output channels."""
+    """x: (B, H, W, C) -> (gx, gy) each (B*C, H, W), REFLECT_101 pad.
+
+    Channels ride the batch dim: a 3-channel NHWC conv puts C=3 on the
+    128-wide lane dim (<5% utilization — profiled at >1 ms per 512^2 call);
+    (B*C, H, W) planes keep lanes = W and the Sobel becomes six shifted
+    adds on the VPU."""
     b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    # kernel (3, 3, C, 2C): per input channel ch, outputs 2*ch=gx, 2*ch+1=gy
-    k = np.zeros((3, 3, c, 2 * c), np.float32)
-    for ch in range(c):
-        k[:, :, ch, 2 * ch] = _SOBEL_X
-        k[:, :, ch, 2 * ch + 1] = _SOBEL_Y
-    g = jax.lax.conv_general_dilated(
-        xp, jnp.asarray(k, x.dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return g[..., 0::2], g[..., 1::2]
+    xc = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def s(dy, dx):
+        return jax.lax.slice(xp, (0, dy, dx), (b * c, dy + h, dx + w))
+
+    gx = ((s(0, 2) - s(0, 0)) + 2.0 * (s(1, 2) - s(1, 0))
+          + (s(2, 2) - s(2, 0)))
+    gy = ((s(2, 0) - s(0, 0)) + 2.0 * (s(2, 1) - s(0, 1))
+          + (s(2, 2) - s(0, 2)))
+    return gx, gy
 
 
 _NEIGHBORS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
@@ -76,17 +81,20 @@ def canny(image_u8, low_threshold: float = 100.0,
     """
     x = image_u8.astype(jnp.float32)
 
-    gx_c, gy_c = _sobel_all_channels(x)
+    b, h, w, c = x.shape
+    gx_c, gy_c = _sobel_all_channels(x)          # (B*C, H, W)
     mag_c = jnp.abs(gx_c) + jnp.abs(gy_c)
+    gx_c = gx_c.reshape(b, c, h, w)
+    gy_c = gy_c.reshape(b, c, h, w)
+    mag_c = mag_c.reshape(b, c, h, w)
     # max-magnitude channel via elementwise selects (gathers with
     # per-element indices serialize badly on the VPU)
-    c = x.shape[-1]
-    gx, gy, mag = gx_c[..., 0], gy_c[..., 0], mag_c[..., 0]
+    gx, gy, mag = gx_c[:, 0], gy_c[:, 0], mag_c[:, 0]
     for ch in range(1, c):
-        take = mag_c[..., ch] > mag
-        gx = jnp.where(take, gx_c[..., ch], gx)
-        gy = jnp.where(take, gy_c[..., ch], gy)
-        mag = jnp.where(take, mag_c[..., ch], mag)
+        take = mag_c[:, ch] > mag
+        gx = jnp.where(take, gx_c[:, ch], gx)
+        gy = jnp.where(take, gy_c[:, ch], gy)
+        mag = jnp.where(take, mag_c[:, ch], mag)
 
     # quantized NMS (cv2 tan(22.5)/tan(67.5) binning)
     ax, ay = jnp.abs(gx), jnp.abs(gy)

@@ -85,13 +85,11 @@ def _pad_last(arr, to: int):
 def supported(x_shape, co: int) -> bool:
     """TPU-compilable gate: the manual halo DMA and the output pipeline
     slice the lane (channel) dim, which Mosaic only allows at 128-aligned
-    offsets. C and Co below 128 fall back to XLA (tiny convs like
-    conv_in/conv_out); otherwise the wrapper zero-pads channels up to the
-    next 128-multiple (e.g. the UNet's 320-ch level runs at 384) — the
-    pad/slice ops double as layout adapters at the XLA<->Pallas boundary."""
+    offsets. The wrapper zero-pads channels up to the next 128-multiple
+    (e.g. the UNet's 320-ch level runs at 384; conv_in's 3/4 input channels
+    and conv_out's 3 outputs run at 128) — the pad/slice ops double as
+    layout adapters at the XLA<->Pallas boundary."""
     b, h, w, c = x_shape
-    if c < 128 or co < 128 or c % 8 or co % 8:
-        return False
     th, tco = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co), 2)
     return th is not None and h >= 2 and w % 8 == 0
 
@@ -234,7 +232,10 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     co_real = w.shape[-1]
     # zero-pad channels to 128-multiples (Mosaic lane alignment); a=b=0 on
     # pad channels keeps the normalized+activated pad at exactly 0, and
-    # zero weight rows/cols make the padding semantically inert
+    # zero weight rows/cols make the padding semantically inert. Even tiny
+    # counts (conv_in's RGB/latents, conv_out's 3) pad to 128: the pad /
+    # slice is one cheap layout-adapting pass, vs the 5-10x degraded
+    # schedule XLA emits for a conv pinned by Pallas neighbors.
     c_pad = _pad_to_128(c)
     co = _pad_to_128(co_real)
     if c_pad != c or co != co_real:
@@ -346,6 +347,212 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
                             + 9 * c * co * w.dtype.itemsize)),
         interpret=interpret,
     )(*args)
+    y, stats = outs if emit_stats else (outs, None)
+    if co != co_real:
+        y = y[..., :co_real]
+        if stats is not None:
+            stats = stats[..., :co_real]
+    return y, stats
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 conv3x3 (down-sample), phase-decomposed input
+# ---------------------------------------------------------------------------
+
+
+def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
+    """Tiles over OUTPUT rows; w is the INPUT width."""
+    if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
+        tco = 128
+    elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+        tco = co
+    else:
+        return None, None
+    wbytes = 9 * c * tco * itemsize
+    for th in _divisors_desc(hout):
+        raw = (2 * th + 2) * w * c * itemsize
+        phases = 3 * (th + 1) * w * c * itemsize
+        prologue = min(3 * (th + 1) * w * c * 4, 3 * _CHUNK_BYTES)
+        acc = th * (w // 2) * tco * 4
+        io = 3 * th * (w // 2) * tco * itemsize
+        if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
+                raw + phases + prologue + 2 * wbytes + acc + io \
+                <= _TOTAL_BUDGET:
+            return th, tco
+    return None, None
+
+
+def downsample_supported(x_shape, co: int) -> bool:
+    b, h, w, c = x_shape
+    if c < 128 or co < 128 or c % 8 or co % 8:
+        return False
+    if h % 2 or w % 2 or (w // 2) % 8:
+        return False
+    th, tco = _pick_tiles_down(h // 2, w, _pad_to_128(c), _pad_to_128(co), 2)
+    return th is not None
+
+
+def _down_kernel(w_ref, bias_ref, x_hbm, out_ref, stats_ref, raw, pbuf, sem,
+                 *, th, tw, cin, tco, pad_lo, out_dtype, emit_stats):
+    """Stride-2 conv3x3 via input phase decomposition.
+
+    raw: (2th+2, W, C) holding x[2*i*th - pad_lo + k] for k in [0, 2th]
+    (boundary rows zeroed); pbuf: (2, 3, th+1, W/2, C) = row-phase rp x
+    column-tap dj buffers: pbuf[rp, dj][u, s] = x_row(2u + rp)[2s + dj -
+    pad_lo]. Tap (di, dj) of the stride-2 conv is then
+    pbuf[di % 2, dj][t + di // 2] — pure slices, like the stride-1 kernel.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nh = pl.num_programs(1)
+    w2 = tw // 2
+
+    @pl.when(j == 0)
+    def _load():
+        bi = pl.program_id(0)
+        # main block: rows 2*i*th .. 2*i*th + 2th - 1 -> raw[pad_lo:...]
+        main = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(2 * i * th, 2 * th)],
+            raw.at[pl.ds(pad_lo, 2 * th)], sem.at[0])
+        main.start()
+        if pad_lo:
+            @pl.when(i > 0)
+            def _top():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(2 * i * th - 1, 1)],
+                    raw.at[pl.ds(0, 1)], sem.at[1])
+                cp.start()
+                cp.wait()
+        else:
+            @pl.when(i < nh - 1)
+            def _bot():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(2 * (i + 1) * th, 1)],
+                    raw.at[pl.ds(2 * th, 1)], sem.at[2])
+                cp.start()
+                cp.wait()
+        main.wait()
+
+        dt = raw.dtype
+        # one chunked pass: zero invalid boundary rows, column-shift, and
+        # split into the six phase buffers. Even-sized chunks keep whole
+        # (even, odd) row pairs together; the fp32 temporaries stay bounded
+        # (see _prologue). The garbage buffer row 2th+1 flows into
+        # pbuf[1, :, th], which no tap ever reads.
+        total = 2 * th + 2
+        chunk = max(2, min(total, _CHUNK_BYTES // (4 * tw * cin)) // 2 * 2)
+        for k0 in range(0, total, chunk):
+            kn = min(chunk, total - k0)
+            rc = kn * tw
+            xr = raw[pl.ds(k0, kn)].reshape(rc, cin).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+            if k0 == 0 and pad_lo:
+                # row -1 at the image top
+                xr = jnp.where(jnp.logical_or(rows >= tw, i > 0), xr, 0.0)
+            if k0 + kn == total and not pad_lo:
+                # hi padding: raw row 2th is x[2(i+1)th], invalid at the
+                # last tile (it is the chunk's second-to-last row)
+                invalid = jnp.logical_and(
+                    i == nh - 1,
+                    jnp.logical_and(rows >= rc - 2 * tw, rows < rc - tw))
+                xr = jnp.where(invalid, 0.0, xr)
+            cols = jax.lax.rem(rows, tw)
+            for dj in range(3):
+                o = dj - pad_lo
+                if o == 0:
+                    sh = xr
+                elif o > 0:
+                    sh = jnp.where(cols < tw - o, pltpu.roll(xr, rc - o, 0),
+                                   0.0)
+                else:
+                    sh = jnp.where(cols >= -o, pltpu.roll(xr, -o, 0), 0.0)
+                ph = sh.reshape(kn // 2, 2, w2, 2, cin)
+                pbuf[0, dj, pl.ds(k0 // 2, kn // 2)] = \
+                    ph[:, 0, :, 0].astype(dt)
+                pbuf[1, dj, pl.ds(k0 // 2, kn // 2)] = \
+                    ph[:, 1, :, 0].astype(dt)
+
+    acc = jnp.zeros((th * w2, tco), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            xs = pbuf[di % 2, dj, pl.ds(di // 2, th)].reshape(th * w2, cin)
+            acc = acc + jnp.dot(xs, w_ref[di, dj],
+                                preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[0].astype(jnp.float32)
+    yo = acc.reshape(th, w2, tco).astype(out_dtype)
+    out_ref[0] = yo
+    if emit_stats:
+        yf = yo.astype(jnp.float32)
+        stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                     jnp.sum(yf * yf, axis=(0, 1))])
+
+
+@functools.partial(jax.jit, static_argnames=("pad_lo", "emit_stats",
+                                             "interpret"))
+def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
+                         emit_stats: bool = False, interpret: bool = False):
+    """Stride-2 conv3x3. pad_lo=0: VAE encoder padding (0,1)x(0,1);
+    pad_lo=1: UNet downsample SAME padding (1,1)x(1,1).
+    x: (B, H, W, C) -> ((B, H/2, W/2, Co), stats?).
+    """
+    bsz, hin, tw, c = x.shape
+    co_real = w.shape[-1]
+    c_pad = _pad_to_128(c)
+    co = _pad_to_128(co_real)
+    if c_pad != c or co != co_real:
+        x = _pad_last(x, c_pad)
+        w = jnp.pad(w, [(0, 0), (0, 0), (0, c_pad - c), (0, co - co_real)])
+        bias = _pad_last(bias, co)
+        c = c_pad
+    hout, w2 = hin // 2, tw // 2
+    th, tco = _pick_tiles_down(hout, tw, c, co, x.dtype.itemsize)
+    assert th is not None, f"unsupported shape {x.shape} -> {co}"
+    nh, nco = hout // th, co // tco
+    bias2 = bias.reshape(1, co)
+
+    def kernel(w_ref, b_ref, x_hbm, out_ref, *rest):
+        stats_ref = rest[0] if emit_stats else None
+        raw, pbuf, sem = rest[-3], rest[-2], rest[-1]
+        _down_kernel(w_ref, b_ref, x_hbm, out_ref, stats_ref, raw, pbuf,
+                     sem, th=th, tw=tw, cin=c, tco=tco, pad_lo=pad_lo,
+                     out_dtype=x.dtype, emit_stats=emit_stats)
+
+    in_specs = [
+        pl.BlockSpec((3, 3, c, tco), lambda bb, i, j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tco), lambda bb, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_specs = [pl.BlockSpec((1, th, w2, tco), lambda bb, i, j: (bb, i, 0, j),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, hout, w2, co), x.dtype)]
+    if emit_stats:
+        out_specs.append(pl.BlockSpec((1, 1, 2, tco),
+                                      lambda bb, i, j: (bb, i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nh, nco),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shapes if emit_stats else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((2 * th + 2, tw, c), x.dtype),
+            pltpu.VMEM((2, 3, th + 1, w2, c), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hout * w2 * 9 * c * co,
+            transcendentals=0,
+            bytes_accessed=(bsz * hin * tw * c * x.dtype.itemsize
+                            + bsz * hout * w2 * co * x.dtype.itemsize
+                            + 9 * c * co * w.dtype.itemsize)),
+        interpret=interpret,
+    )(w.astype(x.dtype), bias2, x)
     y, stats = outs if emit_stats else (outs, None)
     if co != co_real:
         y = y[..., :co_real]
