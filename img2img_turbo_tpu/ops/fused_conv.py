@@ -56,7 +56,7 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
     elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
         tco = co
     else:
-        return None, None
+        return None, None, 1
     wbytes = 9 * c * tco * itemsize
     for th in _divisors_desc(h):
         xbuf = 3 * (th + 2) * w * c * itemsize
@@ -65,10 +65,14 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
         acc = th * w * tco * 4
         io = 3 * th * w * tco * itemsize  # out + residual double buffers
         io += 2 * th * w * skip_c * itemsize  # skip_x block, double-buffered
-        if xbuf <= _XBUF_BUDGET and \
-                xbuf + prologue + 2 * wbytes + acc + io <= _TOTAL_BUDGET:
-            return th, tco
-    return None, None
+        rest = prologue + 2 * wbytes + acc + io
+        if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+            # double-buffer the halo'd tile (DMA prefetch) only when the
+            # second buffer is free at this tile size
+            nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
+                         and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
+            return th, tco, nbuf
+    return None, None, 1
 
 
 def _pad_to_128(n: int) -> int:
@@ -90,7 +94,7 @@ def supported(x_shape, co: int) -> bool:
     and conv_out's 3 outputs run at 128) — the pad/slice ops double as
     layout adapters at the XLA<->Pallas boundary."""
     b, h, w, c = x_shape
-    th, tco = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co), 2)
+    th, tco, _ = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co), 2)
     return th is not None and h >= 2 and w % 8 == 0
 
 
@@ -139,74 +143,154 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
 
 def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             x_hbm, out_ref, stats_ref, xbuf, sem, *, th, tw, cin, tco,
-            normalize, act, emit_stats, out_dtype):
+            normalize, act, emit_stats, out_dtype, nbuf):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
     r = (th + 2) * tw  # flattened (rows-with-halo x width)
 
-    # xbuf: (3, th+2, tw, C) — three column-shift copies of the normalized
-    # tile. In row-major flattened view ((th+2)*tw, C) the conv's column
-    # taps (dj) are flat-row shifts of +-1, realized ONCE per tile with
-    # pltpu.roll + a boundary mask; the row taps (di) are then slices on
-    # the free dim 1, so the 9 matmul operands below are pure views with
-    # free reshapes (tw % 8 == 0) — no Mosaic relayouts in the inner loop.
+    # xbuf: (nbuf, 3, th+2, tw, C) — sets of three column-shift copies of
+    # the normalized tile. nbuf=2 double-buffers: tile i lives in slot i%2
+    # and the DMAs for tile i+1 are issued before computing tile i,
+    # overlapping the HBM stream with the matmuls (used only when the
+    # second buffer costs no tile size — see _pick_tiles). In row-major
+    # flattened view ((th+2)*tw, C) the conv's column taps (dj) are
+    # flat-row shifts of +-1, realized ONCE per tile with pltpu.roll + a
+    # boundary mask; the row taps (di) are then slices on the free dim, so
+    # the 9 matmul operands below are pure views (tw % 8 == 0).
+    slot = jax.lax.rem(i, 2) if nbuf == 2 else 0
+
+    def main_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ii * th, th)],
+            xbuf.at[sl, 1, pl.ds(1, th)], sem.at[sl, 0])
+
+    def top_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ii * th - 1, 1)],
+            xbuf.at[sl, 1, pl.ds(0, 1)], sem.at[sl, 1])
+
+    def bot_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds((ii + 1) * th, 1)],
+            xbuf.at[sl, 1, pl.ds(th + 1, 1)], sem.at[sl, 2])
+
     @pl.when(j == 0)
     def _load():
-        bi = pl.program_id(0)
+        # nh is static: a single-tile grid folds program_id to a literal,
+        # so halo/prefetch descriptors must not be constructed at all then
+        if nh == 1:
+            @pl.when(i == 0)
+            def _only():
+                main_dma(0, 0).start()
+            main_dma(i, 0).wait()
+        elif nbuf == 1:
+            # serial load (the double buffer would have shrunk the tile)
+            main_dma(i, 0).start()
 
-        main = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(i * th, th)],
-            xbuf.at[1, pl.ds(1, th)], sem.at[0])
-        main.start()
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, 0).start()
 
-        @pl.when(i > 0)
-        def _top():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(i * th - 1, 1)],
-                xbuf.at[1, pl.ds(0, 1)], sem.at[1])
-            cp.start()
-            cp.wait()
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, 0).start()
 
-        @pl.when(i < nh - 1)
-        def _bot():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds((i + 1) * th, 1)],
-                xbuf.at[1, pl.ds(th + 1, 1)], sem.at[2])
-            cp.start()
-            cp.wait()
+            main_dma(i, 0).wait()
 
-        main.wait()
-        _prologue(xbuf, a_ref, b_ref, th=th, tw=tw, cin=cin,
-                  normalize=normalize, act=act)
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, 0).wait()
 
-    acc = jnp.zeros((th * tw, tco), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            xs = xbuf[dj, pl.ds(di, th)].reshape(th * tw, cin)
-            acc = acc + jnp.dot(xs, w_ref[di, dj],
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, 0).wait()
+        else:
+            @pl.when(i == 0)
+            def _first():
+                main_dma(0, 0).start()
+                bot_dma(0, 0).start()
+
+            main_dma(i, slot).wait()
+
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, slot).wait()
+
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, slot).wait()
+
+            # prefetch tile i+1 into the other slot (its compute consumer,
+            # tile i-1's data, is already done)
+            @pl.when(i < nh - 1)
+            def _prefetch():
+                main_dma(i + 1, 1 - slot).start()
+                top_dma(i + 1, 1 - slot).start()
+
+                @pl.when(i + 1 < nh - 1)
+                def _():
+                    bot_dma(i + 1, 1 - slot).start()
+
+        if nbuf == 1:
+            _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
+                      normalize=normalize, act=act)
+        else:
+            @pl.when(slot == 0)
+            def _pr0():
+                _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
+                          normalize=normalize, act=act)
+
+            @pl.when(slot == 1)
+            def _pr1():
+                _prologue(xbuf.at[1], a_ref, b_ref, th=th, tw=tw, cin=cin,
+                          normalize=normalize, act=act)
+
+    def compute(sl):
+        # static slot: a traced slot index in the matmul operands forces
+        # dynamic addressing and collapses Mosaic's schedule (~10x)
+        acc = jnp.zeros((th * tw, tco), jnp.float32)
+        for di in range(3):
+            for dj in range(3):
+                xs = xbuf[sl, dj, pl.ds(di, th)].reshape(th * tw, cin)
+                acc = acc + jnp.dot(xs, w_ref[di, dj],
+                                    preferred_element_type=jnp.float32)
+        acc = acc + bias_ref[0].astype(jnp.float32)
+        if eb_ref is not None:
+            # eb is carried fp32: a dynamic sublane index into packed bf16
+            # (2 rows/register) is unprovable for Mosaic; fp32 is exact
+            acc = acc + eb_ref[pl.program_id(0)]
+        if sk_ref is not None:
+            # epilogue 1x1-conv skip fusion (VAE skip-decoder zero-convs):
+            # y += skip_x @ skip_w, so the XLA add+conv passes (and their
+            # HBM round trips) disappear and the stats stay chainable
+            csk = sk_ref.shape[-1]
+            acc = acc + jnp.dot(sk_ref[0].reshape(th * tw, csk),
+                                skw_ref[...],
                                 preferred_element_type=jnp.float32)
-    acc = acc + bias_ref[0].astype(jnp.float32)
-    if eb_ref is not None:
-        # eb is carried fp32: a dynamic sublane index into packed bf16
-        # (2 rows/register) is unprovable for Mosaic; fp32 rows are exact
-        acc = acc + eb_ref[pl.program_id(0)]
-    if sk_ref is not None:
-        # epilogue 1x1-conv skip fusion (VAE skip-decoder zero-convs):
-        # y += skip_x @ skip_w, so the XLA add+conv passes (and their HBM
-        # round trips) disappear and the emitted stats stay chainable
-        csk = sk_ref.shape[-1]
-        acc = acc + jnp.dot(sk_ref[0].reshape(th * tw, csk), skw_ref[...],
-                            preferred_element_type=jnp.float32)
-    y = acc.reshape(th, tw, tco)
-    if res_ref is not None:
-        y = y + res_ref[0].astype(jnp.float32)
-    yo = y.astype(out_dtype)
-    out_ref[0] = yo
-    if emit_stats:
-        yf = yo.astype(jnp.float32)
-        stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
-                                     jnp.sum(yf * yf, axis=(0, 1))])
+        y = acc.reshape(th, tw, tco)
+        if res_ref is not None:
+            y = y + res_ref[0].astype(jnp.float32)
+        yo = y.astype(out_dtype)
+        out_ref[0] = yo
+        if emit_stats:
+            yf = yo.astype(jnp.float32)
+            stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                         jnp.sum(yf * yf, axis=(0, 1))])
+
+    if nbuf == 1:
+        compute(0)
+    else:
+        @pl.when(slot == 0)
+        def _c0():
+            compute(0)
+
+        @pl.when(slot == 1)
+        def _c1():
+            compute(1)
 
 
 @functools.partial(jax.jit, static_argnames=("act", "emit_stats",
@@ -258,7 +342,7 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         skip_x = _pad_last(skip_x, pad_sk)
         skip_w = jnp.pad(skip_w, [(0, pad_sk - skip_w.shape[0]), (0, 0)])
     csk = 0 if skip_x is None else skip_x.shape[-1]
-    th, tco = _pick_tiles(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
+    th, tco, nbuf = _pick_tiles(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
     assert th is not None, f"unsupported shape {x.shape} -> {co}"
     nh, nco = h // th, co // tco
     normalize = a is not None
@@ -328,7 +412,7 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         _kernel(refs[0], refs[1], refs[2], refs[3], eb, res, sk, skw,
                 x_hbm, out_ref, stats_ref, xbuf, sem, th=th, tw=wd, cin=c,
                 tco=tco, normalize=normalize, act=act,
-                emit_stats=emit_stats, out_dtype=x.dtype)
+                emit_stats=emit_stats, out_dtype=x.dtype, nbuf=nbuf)
 
     outs = pl.pallas_call(
         kernel,
@@ -337,8 +421,8 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((3, th + 2, wd, c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((nbuf, 3, th + 2, wd, c), x.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, 3)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * 9 * c * co,
@@ -367,7 +451,7 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
     elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
         tco = co
     else:
-        return None, None
+        return None, None, 1
     wbytes = 9 * c * tco * itemsize
     for th in _divisors_desc(hout):
         raw = (2 * th + 2) * w * c * itemsize
@@ -375,11 +459,12 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
         prologue = min(3 * (th + 1) * w * c * 4, 3 * _CHUNK_BYTES)
         acc = th * (w // 2) * tco * 4
         io = 3 * th * (w // 2) * tco * itemsize
+        rest = phases + prologue + 2 * wbytes + acc + io
         if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
-                raw + phases + prologue + 2 * wbytes + acc + io \
-                <= _TOTAL_BUDGET:
-            return th, tco
-    return None, None
+                raw + rest <= _TOTAL_BUDGET:
+            nbuf = 2 if 2 * raw + rest <= _TOTAL_BUDGET else 1
+            return th, tco, nbuf
+    return None, None, 1
 
 
 def downsample_supported(x_shape, co: int) -> bool:
@@ -388,12 +473,13 @@ def downsample_supported(x_shape, co: int) -> bool:
         return False
     if h % 2 or w % 2 or (w // 2) % 8:
         return False
-    th, tco = _pick_tiles_down(h // 2, w, _pad_to_128(c), _pad_to_128(co), 2)
+    th, tco, _ = _pick_tiles_down(h // 2, w, _pad_to_128(c),
+                                  _pad_to_128(co), 2)
     return th is not None
 
 
 def _down_kernel(w_ref, bias_ref, x_hbm, out_ref, stats_ref, raw, pbuf, sem,
-                 *, th, tw, cin, tco, pad_lo, out_dtype, emit_stats):
+                 *, th, tw, cin, tco, pad_lo, out_dtype, emit_stats, nbuf):
     """Stride-2 conv3x3 via input phase decomposition.
 
     raw: (2th+2, W, C) holding x[2*i*th - pad_lo + k] for k in [0, 2th]
@@ -406,71 +492,124 @@ def _down_kernel(w_ref, bias_ref, x_hbm, out_ref, stats_ref, raw, pbuf, sem,
     j = pl.program_id(2)
     nh = pl.num_programs(1)
     w2 = tw // 2
+    slot = jax.lax.rem(i, 2) if nbuf == 2 else 0
+
+    def main_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(2 * ii * th, 2 * th)],
+            raw.at[sl, pl.ds(pad_lo, 2 * th)], sem.at[sl, 0])
+
+    def halo_dma(ii, sl):
+        # pad_lo=1: a top halo row; pad_lo=0: a bottom halo row
+        bi = pl.program_id(0)
+        if pad_lo:
+            return pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(2 * ii * th - 1, 1)],
+                raw.at[sl, pl.ds(0, 1)], sem.at[sl, 1])
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(2 * (ii + 1) * th, 1)],
+            raw.at[sl, pl.ds(2 * th, 1)], sem.at[sl, 1])
+
+    def halo_needed(ii):
+        return (ii > 0) if pad_lo else (ii < nh - 1)
 
     @pl.when(j == 0)
     def _load():
-        bi = pl.program_id(0)
-        # main block: rows 2*i*th .. 2*i*th + 2th - 1 -> raw[pad_lo:...]
-        main = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(2 * i * th, 2 * th)],
-            raw.at[pl.ds(pad_lo, 2 * th)], sem.at[0])
-        main.start()
-        if pad_lo:
-            @pl.when(i > 0)
-            def _top():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(2 * i * th - 1, 1)],
-                    raw.at[pl.ds(0, 1)], sem.at[1])
-                cp.start()
-                cp.wait()
-        else:
-            @pl.when(i < nh - 1)
-            def _bot():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(2 * (i + 1) * th, 1)],
-                    raw.at[pl.ds(2 * th, 1)], sem.at[2])
-                cp.start()
-                cp.wait()
-        main.wait()
+        if nh == 1:
+            @pl.when(i == 0)
+            def _only():
+                main_dma(0, 0).start()
+            main_dma(i, 0).wait()
+        elif nbuf == 1:
+            main_dma(i, 0).start()
 
-        dt = raw.dtype
-        # one chunked pass: zero invalid boundary rows, column-shift, and
-        # split into the six phase buffers. Even-sized chunks keep whole
-        # (even, odd) row pairs together; the fp32 temporaries stay bounded
-        # (see _prologue). The garbage buffer row 2th+1 flows into
-        # pbuf[1, :, th], which no tap ever reads.
-        total = 2 * th + 2
-        chunk = max(2, min(total, _CHUNK_BYTES // (4 * tw * cin)) // 2 * 2)
-        for k0 in range(0, total, chunk):
-            kn = min(chunk, total - k0)
-            rc = kn * tw
-            xr = raw[pl.ds(k0, kn)].reshape(rc, cin).astype(jnp.float32)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
-            if k0 == 0 and pad_lo:
-                # row -1 at the image top
-                xr = jnp.where(jnp.logical_or(rows >= tw, i > 0), xr, 0.0)
-            if k0 + kn == total and not pad_lo:
-                # hi padding: raw row 2th is x[2(i+1)th], invalid at the
-                # last tile (it is the chunk's second-to-last row)
-                invalid = jnp.logical_and(
-                    i == nh - 1,
-                    jnp.logical_and(rows >= rc - 2 * tw, rows < rc - tw))
-                xr = jnp.where(invalid, 0.0, xr)
-            cols = jax.lax.rem(rows, tw)
-            for dj in range(3):
-                o = dj - pad_lo
-                if o == 0:
-                    sh = xr
-                elif o > 0:
-                    sh = jnp.where(cols < tw - o, pltpu.roll(xr, rc - o, 0),
-                                   0.0)
-                else:
-                    sh = jnp.where(cols >= -o, pltpu.roll(xr, -o, 0), 0.0)
-                ph = sh.reshape(kn // 2, 2, w2, 2, cin)
-                pbuf[0, dj, pl.ds(k0 // 2, kn // 2)] = \
-                    ph[:, 0, :, 0].astype(dt)
-                pbuf[1, dj, pl.ds(k0 // 2, kn // 2)] = \
-                    ph[:, 1, :, 0].astype(dt)
+            @pl.when(halo_needed(i))
+            def _():
+                halo_dma(i, 0).start()
+
+            main_dma(i, 0).wait()
+
+            @pl.when(halo_needed(i))
+            def _():
+                halo_dma(i, 0).wait()
+        else:
+            @pl.when(i == 0)
+            def _first():
+                main_dma(0, 0).start()
+                if not pad_lo:
+                    halo_dma(0, 0).start()
+
+            main_dma(i, slot).wait()
+
+            @pl.when(halo_needed(i))
+            def _():
+                halo_dma(i, slot).wait()
+
+            @pl.when(i < nh - 1)
+            def _prefetch():
+                main_dma(i + 1, 1 - slot).start()
+
+                @pl.when(halo_needed(i + 1))
+                def _():
+                    halo_dma(i + 1, 1 - slot).start()
+
+        def phase_build(sl):
+            # one chunked pass: zero invalid boundary rows, column-shift,
+            # and split into the six phase buffers. Even-sized chunks keep
+            # whole (even, odd) row pairs together; the fp32 temporaries
+            # stay bounded (see _prologue). The garbage buffer row 2th+1
+            # flows into pbuf[1, :, th], which no tap ever reads. sl is
+            # static (see _kernel.compute).
+            dt = raw.dtype
+            total = 2 * th + 2
+            chunk = max(2,
+                        min(total, _CHUNK_BYTES // (4 * tw * cin)) // 2 * 2)
+            for k0 in range(0, total, chunk):
+                kn = min(chunk, total - k0)
+                rc = kn * tw
+                xr = raw[sl, pl.ds(k0, kn)].reshape(rc, cin).astype(
+                    jnp.float32)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+                if k0 == 0 and pad_lo:
+                    # row -1 at the image top
+                    xr = jnp.where(jnp.logical_or(rows >= tw, i > 0),
+                                   xr, 0.0)
+                if k0 + kn == total and not pad_lo:
+                    # hi padding: raw row 2th is x[2(i+1)th], invalid at
+                    # the last tile (the chunk's second-to-last row)
+                    invalid = jnp.logical_and(
+                        i == nh - 1,
+                        jnp.logical_and(rows >= rc - 2 * tw,
+                                        rows < rc - tw))
+                    xr = jnp.where(invalid, 0.0, xr)
+                cols = jax.lax.rem(rows, tw)
+                for dj in range(3):
+                    o = dj - pad_lo
+                    if o == 0:
+                        sh = xr
+                    elif o > 0:
+                        sh = jnp.where(cols < tw - o,
+                                       pltpu.roll(xr, rc - o, 0), 0.0)
+                    else:
+                        sh = jnp.where(cols >= -o, pltpu.roll(xr, -o, 0),
+                                       0.0)
+                    ph = sh.reshape(kn // 2, 2, w2, 2, cin)
+                    pbuf[0, dj, pl.ds(k0 // 2, kn // 2)] = \
+                        ph[:, 0, :, 0].astype(dt)
+                    pbuf[1, dj, pl.ds(k0 // 2, kn // 2)] = \
+                        ph[:, 1, :, 0].astype(dt)
+
+        if nbuf == 1:
+            phase_build(0)
+        else:
+            @pl.when(slot == 0)
+            def _p0():
+                phase_build(0)
+
+            @pl.when(slot == 1)
+            def _p1():
+                phase_build(1)
 
     acc = jnp.zeros((th * w2, tco), jnp.float32)
     for di in range(3):
@@ -505,7 +644,7 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         bias = _pad_last(bias, co)
         c = c_pad
     hout, w2 = hin // 2, tw // 2
-    th, tco = _pick_tiles_down(hout, tw, c, co, x.dtype.itemsize)
+    th, tco, nbuf = _pick_tiles_down(hout, tw, c, co, x.dtype.itemsize)
     assert th is not None, f"unsupported shape {x.shape} -> {co}"
     nh, nco = hout // th, co // tco
     bias2 = bias.reshape(1, co)
@@ -515,7 +654,7 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         raw, pbuf, sem = rest[-3], rest[-2], rest[-1]
         _down_kernel(w_ref, b_ref, x_hbm, out_ref, stats_ref, raw, pbuf,
                      sem, th=th, tw=tw, cin=c, tco=tco, pad_lo=pad_lo,
-                     out_dtype=x.dtype, emit_stats=emit_stats)
+                     out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf)
 
     in_specs = [
         pl.BlockSpec((3, 3, c, tco), lambda bb, i, j: (0, 0, 0, j),
@@ -541,9 +680,9 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 2, tw, c), x.dtype),
+            pltpu.VMEM((nbuf, 2 * th + 2, tw, c), x.dtype),
             pltpu.VMEM((2, 3, th + 1, w2, c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * hout * w2 * 9 * c * co,
@@ -593,7 +732,7 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
     elif 16 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
         tco = co
     else:
-        return None, None
+        return None, None, 1
     wbytes = 16 * c * tco * itemsize
     for th in _divisors_desc(h):
         xbuf = 3 * (th + 2) * w * c * itemsize
@@ -603,86 +742,163 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
         # interleave temporaries (~2 fp32 copies of the tile)
         io = 8 * th * w * tco * itemsize + 8 * th * w * tco * 4
         io += 8 * th * w * skip_c * itemsize  # skip block, double-buffered
-        if xbuf <= _XBUF_BUDGET and \
-                xbuf + prologue + 2 * wbytes + acc + io <= _TOTAL_BUDGET:
-            return th, tco
-    return None, None
+        rest = prologue + 2 * wbytes + acc + io
+        if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+            nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
+                         and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
+            return th, tco, nbuf
+    return None, None, 1
 
 
 def upsample_supported(x_shape, co: int) -> bool:
     b, h, w, c = x_shape
     if c % 128 or co % 128:
         return False
-    th, tco = _pick_tiles_up(h, w, c, co, 2)
+    th, tco, _ = _pick_tiles_up(h, w, c, co, 2)
     return th is not None and h >= 2 and w % 8 == 0
 
 
 def _up_kernel(w_ref, bias_ref, sk_ref, skw_ref, x_hbm, out_ref, stats_ref,
-               xbuf, sem, *, th, tw, cin, tco, out_dtype, emit_stats):
+               xbuf, sem, *, th, tw, cin, tco, out_dtype, emit_stats,
+               nbuf):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
     r = (th + 2) * tw
+    slot = jax.lax.rem(i, 2) if nbuf == 2 else 0
+
+    def main_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ii * th, th)],
+            xbuf.at[sl, 1, pl.ds(1, th)], sem.at[sl, 0])
+
+    def top_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ii * th - 1, 1)],
+            xbuf.at[sl, 1, pl.ds(0, 1)], sem.at[sl, 1])
+
+    def bot_dma(ii, sl):
+        bi = pl.program_id(0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds((ii + 1) * th, 1)],
+            xbuf.at[sl, 1, pl.ds(th + 1, 1)], sem.at[sl, 2])
 
     @pl.when(j == 0)
     def _load():
-        bi = pl.program_id(0)
-        main = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(i * th, th)],
-            xbuf.at[1, pl.ds(1, th)], sem.at[0])
-        main.start()
+        if nh == 1:
+            @pl.when(i == 0)
+            def _only():
+                main_dma(0, 0).start()
+            main_dma(i, 0).wait()
+        elif nbuf == 1:
+            main_dma(i, 0).start()
 
-        @pl.when(i > 0)
-        def _top():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(i * th - 1, 1)],
-                xbuf.at[1, pl.ds(0, 1)], sem.at[1])
-            cp.start()
-            cp.wait()
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, 0).start()
 
-        @pl.when(i < nh - 1)
-        def _bot():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds((i + 1) * th, 1)],
-                xbuf.at[1, pl.ds(th + 1, 1)], sem.at[2])
-            cp.start()
-            cp.wait()
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, 0).start()
 
-        main.wait()
-        _prologue(xbuf, None, None, th=th, tw=tw, cin=cin,
-                  normalize=False, act=None)
+            main_dma(i, 0).wait()
 
-    bias = bias_ref[0].astype(jnp.float32)
-    phases = []
-    for a in range(2):
-        for b2 in range(2):
-            acc = jnp.zeros((th * tw, tco), jnp.float32)
-            for p in range(2):
-                for q in range(2):
-                    # row offset: a=0 -> {-1, 0}; a=1 -> {0, +1} (xbuf rows
-                    # are global rows s-1+k, so di = a + p); col shift
-                    # likewise dj = b + q indexes (left, center, right)
-                    xs = xbuf[b2 + q, pl.ds(a + p, th)].reshape(th * tw, cin)
-                    acc = acc + jnp.dot(xs, w_ref[a, b2, p, q],
-                                        preferred_element_type=jnp.float32)
-            phases.append((acc + bias).reshape(th, tw, tco)
-                          .astype(out_dtype))
-    # interleave in VMEM: out[2t+a, 2s+b] = phase[2a+b][t, s] — a tile-local
-    # relayout instead of an XLA full-tensor reshape copy
-    r0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(th, 2 * tw, tco)
-    r1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(th, 2 * tw, tco)
-    out = jnp.stack([r0, r1], axis=1).reshape(2 * th, 2 * tw, tco)
-    if sk_ref is not None:
-        # epilogue 1x1-conv skip fusion at output resolution
-        csk = sk_ref.shape[-1]
-        skm = jnp.dot(sk_ref[0].reshape(4 * th * tw, csk), skw_ref[...],
-                      preferred_element_type=jnp.float32)
-        out = out + skm.reshape(2 * th, 2 * tw, tco).astype(out_dtype)
-    out_ref[0] = out
-    if emit_stats:
-        of = out.astype(jnp.float32)
-        stats_ref[0, 0] = jnp.stack([jnp.sum(of, axis=(0, 1)),
-                                     jnp.sum(of * of, axis=(0, 1))])
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, 0).wait()
+
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, 0).wait()
+        else:
+            @pl.when(i == 0)
+            def _first():
+                main_dma(0, 0).start()
+                bot_dma(0, 0).start()
+
+            main_dma(i, slot).wait()
+
+            @pl.when(i > 0)
+            def _():
+                top_dma(i, slot).wait()
+
+            @pl.when(i < nh - 1)
+            def _():
+                bot_dma(i, slot).wait()
+
+            @pl.when(i < nh - 1)
+            def _prefetch():
+                main_dma(i + 1, 1 - slot).start()
+                top_dma(i + 1, 1 - slot).start()
+
+                @pl.when(i + 1 < nh - 1)
+                def _():
+                    bot_dma(i + 1, 1 - slot).start()
+
+        if nbuf == 1:
+            _prologue(xbuf.at[0], None, None, th=th, tw=tw, cin=cin,
+                      normalize=False, act=None)
+        else:
+            @pl.when(slot == 0)
+            def _pr0():
+                _prologue(xbuf.at[0], None, None, th=th, tw=tw, cin=cin,
+                          normalize=False, act=None)
+
+            @pl.when(slot == 1)
+            def _pr1():
+                _prologue(xbuf.at[1], None, None, th=th, tw=tw, cin=cin,
+                          normalize=False, act=None)
+
+    def compute(sl):
+        # static slot (see _kernel.compute)
+        bias = bias_ref[0].astype(jnp.float32)
+        phases = []
+        for a in range(2):
+            for b2 in range(2):
+                acc = jnp.zeros((th * tw, tco), jnp.float32)
+                for p in range(2):
+                    for q in range(2):
+                        # row offset: a=0 -> {-1, 0}; a=1 -> {0, +1} (xbuf
+                        # rows are global rows s-1+k, so di = a + p); col
+                        # shift dj = b + q indexes (left, center, right)
+                        xs = xbuf[sl, b2 + q, pl.ds(a + p, th)].reshape(
+                            th * tw, cin)
+                        acc = acc + jnp.dot(
+                            xs, w_ref[a, b2, p, q],
+                            preferred_element_type=jnp.float32)
+                phases.append((acc + bias).reshape(th, tw, tco)
+                              .astype(out_dtype))
+        # interleave in VMEM: out[2t+a, 2s+b] = phase[2a+b][t, s] — a
+        # tile-local relayout instead of an XLA full-tensor reshape copy
+        r0 = jnp.stack([phases[0], phases[1]],
+                       axis=2).reshape(th, 2 * tw, tco)
+        r1 = jnp.stack([phases[2], phases[3]],
+                       axis=2).reshape(th, 2 * tw, tco)
+        out = jnp.stack([r0, r1], axis=1).reshape(2 * th, 2 * tw, tco)
+        if sk_ref is not None:
+            # epilogue 1x1-conv skip fusion at output resolution
+            csk = sk_ref.shape[-1]
+            skm = jnp.dot(sk_ref[0].reshape(4 * th * tw, csk), skw_ref[...],
+                          preferred_element_type=jnp.float32)
+            out = out + skm.reshape(2 * th, 2 * tw, tco).astype(out_dtype)
+        out_ref[0] = out
+        if emit_stats:
+            of = out.astype(jnp.float32)
+            stats_ref[0, 0] = jnp.stack([jnp.sum(of, axis=(0, 1)),
+                                         jnp.sum(of * of, axis=(0, 1))])
+
+    if nbuf == 1:
+        compute(0)
+    else:
+        @pl.when(slot == 0)
+        def _c0():
+            compute(0)
+
+        @pl.when(slot == 1)
+        def _c1():
+            compute(1)
 
 
 @functools.partial(jax.jit, static_argnames=("emit_stats", "interpret"))
@@ -699,7 +915,8 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
     bsz, h, wd, c = x.shape
     co = w.shape[-1]
     csk = 0 if skip_x is None else skip_x.shape[-1]
-    th, tco = _pick_tiles_up(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
+    th, tco, nbuf = _pick_tiles_up(h, wd, c, co, x.dtype.itemsize,
+                                   skip_c=csk)
     assert th is not None, f"unsupported shape {x.shape} -> {co}"
     nh, nco = h // th, co // tco
     wf = _fold_upsample_weights(w.astype(x.dtype))
@@ -744,7 +961,7 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         xbuf, sem = refs[-2], refs[-1]
         _up_kernel(refs[0], refs[1], sk, skw, x_hbm, out_ref, stats_ref,
                    xbuf, sem, th=th, tw=wd, cin=c, tco=tco,
-                   out_dtype=x.dtype, emit_stats=emit_stats)
+                   out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf)
 
     outs = pl.pallas_call(
         kernel,
@@ -753,8 +970,8 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((3, th + 2, wd, c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((nbuf, 3, th + 2, wd, c), x.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, 3)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * 16 * c * co,

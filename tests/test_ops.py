@@ -283,12 +283,12 @@ class TestFusedConvHelpers:
         assert fused_conv.supported((1, 64, 64, 512), 512)
         assert fused_conv.supported((8, 64, 64, 512), 512)
         assert fused_conv.supported((1, 16, 16, 1280), 1280)
-        # non-128-multiple channels >= 128 run zero-padded to the next
-        # multiple (UNet level 0); tiny convs (conv_in/out) fall back
+        # non-128-multiple channels run zero-padded to the next multiple
+        # (UNet level 0; conv_in's 4 latents; conv_out's 3 channels)
         assert fused_conv.supported((1, 64, 64, 320), 320)
         assert fused_conv.supported((1, 64, 64, 960), 640)
-        assert not fused_conv.supported((1, 64, 64, 4), 512)
-        assert not fused_conv.supported((1, 512, 512, 128), 3)
+        assert fused_conv.supported((1, 64, 64, 4), 512)
+        assert fused_conv.supported((1, 512, 512, 128), 3)
         # 2560-ch concat exceeds the weight budget (split by the caller)
         assert not fused_conv.supported((1, 16, 16, 2560), 1280)
         assert fused_conv.upsample_supported((1, 128, 128, 512), 512)
