@@ -531,6 +531,11 @@ def gn_silu_conv(gn_p, conv_p, x, num_groups: int, eps: float,
                 skw = (skip["kernel"].reshape(ci, co_s)
                        * jnp.asarray(skip["gamma"], skip["kernel"].dtype))
                 args += [skip["x"].astype(x.dtype), skw]
+                if "bias" in skip:
+                    # shortcut-conv bias rides the conv bias operand; the
+                    # sum happens outside the custom_vjp so both biases
+                    # still receive exact gradients
+                    args[4] = args[4] + skip["bias"].astype(x.dtype)
             return f(*args)
     # fallback: keep the GN in XLA too — a Pallas stats kernel next to an
     # XLA conv pins the conv's output layout (row-major) and collapses its
@@ -543,8 +548,10 @@ def gn_silu_conv(gn_p, conv_p, x, num_groups: int, eps: float,
         y = y + residual
     if skip is not None:
         sx = skip["x"]
-        y = y + conv2d({"kernel": skip["kernel"]},
-                       sx * jnp.asarray(skip["gamma"], sx.dtype))
+        sp = {"kernel": skip["kernel"]}
+        if "bias" in skip:
+            sp["bias"] = skip["bias"]
+        y = y + conv2d(sp, sx * jnp.asarray(skip["gamma"], sx.dtype))
     return (y, None) if emit_stats else y
 
 

@@ -117,12 +117,18 @@ def _resnet(p, x, temb, cfg: UNetConfig, x_stats=None,
     h, s1 = L.gn_silu_conv(p["norm1"], p["conv1"], x,
                            cfg.norm_num_groups, cfg.norm_eps, extra_bias=t,
                            x_stats=x_stats, emit_stats=True)
-    shortcut = (L.conv2d(p["conv_shortcut"], x)
-                if "conv_shortcut" in p else x)
+    if "conv_shortcut" in p:
+        # 1x1 shortcut folded into conv2's epilogue (see models/vae._resnet)
+        residual = None
+        skip = {"x": x, "kernel": p["conv_shortcut"]["kernel"],
+                "bias": p["conv_shortcut"]["bias"], "gamma": 1.0}
+    else:
+        residual = x
+        skip = None
     return L.gn_silu_conv(p["norm2"], p["conv2"], h,
                           cfg.norm_num_groups, cfg.norm_eps,
-                          residual=shortcut, x_stats=s1,
-                          emit_stats=emit_stats)
+                          residual=residual, x_stats=s1,
+                          emit_stats=emit_stats, skip=skip)
 
 
 # ---------------------------------------------------------------------------

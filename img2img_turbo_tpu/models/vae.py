@@ -60,12 +60,20 @@ def _resnet(p, x, cfg: VAEConfig, x_stats=None, emit_stats: bool = False,
     h, s1 = L.gn_silu_conv(p["norm1"], p["conv1"], x,
                            cfg.norm_num_groups, cfg.norm_eps,
                            x_stats=x_stats, emit_stats=True)
-    shortcut = (L.conv2d(p["conv_shortcut"], x)
-                if "conv_shortcut" in p else x)
+    if "conv_shortcut" in p and epilogue_skip is None:
+        # fold the 1x1 shortcut into conv2's epilogue matmul — an XLA 1x1
+        # conv here would be layout-pinned by its Pallas neighbors
+        residual = None
+        skip = {"x": x, "kernel": p["conv_shortcut"]["kernel"],
+                "bias": p["conv_shortcut"]["bias"], "gamma": 1.0}
+    else:
+        residual = (L.conv2d(p["conv_shortcut"], x)
+                    if "conv_shortcut" in p else x)
+        skip = epilogue_skip
     return L.gn_silu_conv(p["norm2"], p["conv2"], h,
                           cfg.norm_num_groups, cfg.norm_eps,
-                          residual=shortcut, x_stats=s1,
-                          emit_stats=emit_stats, skip=epilogue_skip)
+                          residual=residual, x_stats=s1,
+                          emit_stats=emit_stats, skip=skip)
 
 
 def _init_mid_attn(key, ch: int):
