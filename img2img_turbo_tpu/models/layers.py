@@ -102,9 +102,20 @@ def init_group_norm(num_channels: int, dtype=jnp.float32):
 
 FUSED_KERNELS = True
 """Route GroupNorm stats and the resnet-body GN+SiLU+conv through the
-Pallas kernels on TPU (ops/groupnorm.py, ops/fused_conv.py). Disable for
-multi-device pjit graphs (Pallas calls are not SPMD-partitionable by XLA;
-see parallel/mesh.py) — `set_fused_kernels(False)`."""
+Pallas kernels on TPU (ops/groupnorm.py, ops/fused_conv.py).
+
+Multi-device graphs keep the kernels when the program is shard_map'd over
+the data axis (training/*.make_*_train_step_dp, serving.ServingEngine
+mesh=...): each shard runs single-device kernels on its local batch, the
+TPU-native analog of the reference's DDP scaling its cuDNN kernels
+untouched (train_pix2pix_turbo.py:120-123). Only tensor-parallel pjit
+graphs (model axis > 1) must disable them — Pallas custom calls are not
+partitionable by XLA's SPMD pass; use `fused_kernels_scope(False)` so the
+toggle is scoped, not a hidden process-global flip."""
+
+FORCE_FUSED = False
+"""Take the Pallas path even off-TPU — for CPU tests/dryruns that wrap the
+graph in `pltpu.force_tpu_interpret_mode()` (interpret-mode kernels)."""
 
 
 def set_fused_kernels(enabled: bool) -> None:
@@ -112,8 +123,37 @@ def set_fused_kernels(enabled: bool) -> None:
     FUSED_KERNELS = bool(enabled)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def fused_kernels_scope(enabled: bool):
+    """Scoped FUSED_KERNELS override (restores the previous value). NOTE:
+    the flag is read at TRACE time — enter the scope before jit tracing,
+    and use distinct function objects per setting (jit caches by fn)."""
+    global FUSED_KERNELS
+    prev = FUSED_KERNELS
+    FUSED_KERNELS = bool(enabled)
+    try:
+        yield
+    finally:
+        FUSED_KERNELS = prev
+
+
+@contextlib.contextmanager
+def force_fused_scope():
+    """Scoped FORCE_FUSED=True (CPU interpret-mode kernel testing)."""
+    global FORCE_FUSED
+    prev = FORCE_FUSED
+    FORCE_FUSED = True
+    try:
+        yield
+    finally:
+        FORCE_FUSED = prev
+
+
 def _pallas_tpu() -> bool:
-    return FUSED_KERNELS and jax.default_backend() == "tpu"
+    return FUSED_KERNELS and (jax.default_backend() == "tpu" or FORCE_FUSED)
 
 
 def group_norm(p, x, num_groups: int, eps: float, x_stats=None):
@@ -381,7 +421,9 @@ def upsample2x_conv(conv_p, x, emit_stats: bool = False, skip=None):
     kernel = conv_p["kernel"]
     if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
         from img2img_turbo_tpu.ops import fused_conv
-        if fused_conv.upsample_supported(x.shape, kernel.shape[-1]):
+        if fused_conv.upsample_supported(
+                x.shape, kernel.shape[-1], x.dtype.itemsize,
+                skip_c=0 if skip is None else skip["x"].shape[-1]):
             f = _make_fused_upconv(emit_stats, skip is not None)
             args = [x, kernel.astype(x.dtype),
                     conv_p["bias"].astype(x.dtype)]
@@ -464,7 +506,8 @@ def plain_conv3x3(conv_p, x, emit_stats: bool = False):
     kernel = conv_p["kernel"]
     if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
         from img2img_turbo_tpu.ops import fused_conv
-        if fused_conv.supported(x.shape, kernel.shape[-1]):
+        if fused_conv.supported(x.shape, kernel.shape[-1],
+                                x.dtype.itemsize):
             f = _make_fused_plainconv(emit_stats)
             return f(x, kernel.astype(x.dtype),
                      conv_p["bias"].astype(x.dtype))
@@ -483,7 +526,8 @@ def downsample2x_conv(conv_p, x, pad_lo: int, emit_stats: bool = False):
     kernel = conv_p["kernel"]
     if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
         from img2img_turbo_tpu.ops import fused_conv
-        if fused_conv.downsample_supported(x.shape, kernel.shape[-1]):
+        if fused_conv.downsample_supported(x.shape, kernel.shape[-1],
+                                           x.dtype.itemsize):
             f = _make_fused_downconv(pad_lo, emit_stats)
             return f(x, kernel.astype(x.dtype),
                      conv_p["bias"].astype(x.dtype))
@@ -514,7 +558,9 @@ def gn_silu_conv(gn_p, conv_p, x, num_groups: int, eps: float,
     co = kernel.shape[-1]
     if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
         from img2img_turbo_tpu.ops import fused_conv
-        if fused_conv.supported(x.shape, co):
+        if fused_conv.supported(
+                x.shape, co, x.dtype.itemsize,
+                skip_c=0 if skip is None else skip["x"].shape[-1]):
             f = _make_fused_gsc(num_groups, eps, extra_bias is not None,
                                 residual is not None, x_stats is not None,
                                 emit_stats, skip is not None)

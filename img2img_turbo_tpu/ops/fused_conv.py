@@ -79,6 +79,40 @@ def _pad_to_128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _xla_fallback(x, w, bias, a, b, extra_bias, residual, skip_x, skip_w,
+                  act, emit_stats, stride=1, pad_lo=1):
+    """Reference XLA composition — used when the tile pick fails at the
+    wrapper's real dtype/skip configuration even though the (bf16-assumed)
+    `supported()` gate passed (e.g. fp32 activations). Semantics identical
+    to the kernel; stats come back as one (B, 1, 2, C) partial-sum tile."""
+    h = x
+    if a is not None:
+        h = h * a[:, None, None, :].astype(x.dtype) \
+            + b[:, None, None, :].astype(x.dtype)
+        if act == "silu":
+            h = jax.nn.silu(h)
+    y = jax.lax.conv_general_dilated(
+        h, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=[(pad_lo, 1), (pad_lo, 1)] if stride == 2 else "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    y = y + bias.astype(x.dtype)
+    if extra_bias is not None:
+        y = y + extra_bias[:, None, None, :].astype(x.dtype)
+    if skip_x is not None:
+        y = y + jnp.dot(skip_x, skip_w.astype(skip_x.dtype),
+                        preferred_element_type=x.dtype)
+    if residual is not None:
+        y = y + residual
+    stats = None
+    if emit_stats:
+        yf = y.astype(jnp.float32)
+        stats = jnp.stack([jnp.sum(yf, axis=(1, 2)),
+                           jnp.sum(yf * yf, axis=(1, 2))], axis=1)
+        stats = stats[:, None]  # (B, 1, 2, C)
+    return y, stats
+
+
 def _pad_last(arr, to: int):
     d = to - arr.shape[-1]
     if d == 0:
@@ -86,15 +120,21 @@ def _pad_last(arr, to: int):
     return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, d)])
 
 
-def supported(x_shape, co: int) -> bool:
+def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
     """TPU-compilable gate: the manual halo DMA and the output pipeline
     slice the lane (channel) dim, which Mosaic only allows at 128-aligned
     offsets. The wrapper zero-pads channels up to the next 128-multiple
     (e.g. the UNet's 320-ch level runs at 384; conv_in's 3/4 input channels
     and conv_out's 3 outputs run at 128) — the pad/slice ops double as
-    layout adapters at the XLA<->Pallas boundary."""
+    layout adapters at the XLA<->Pallas boundary.
+
+    `itemsize`/`skip_c` must match what the wrapper will actually run with
+    (the activation dtype's itemsize; the 128-padded skip channel count) —
+    the tile picker's VMEM budget depends on both, and the wrapper falls
+    back to the XLA composition if its own pick fails."""
     b, h, w, c = x_shape
-    th, tco, _ = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co), 2)
+    th, tco, _ = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co),
+                             itemsize, skip_c=_pad_to_128(skip_c))
     return th is not None and h >= 2 and w % 8 == 0
 
 
@@ -322,6 +362,13 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     # schedule XLA emits for a conv pinned by Pallas neighbors.
     c_pad = _pad_to_128(c)
     co = _pad_to_128(co_real)
+    csk_pad = 0 if skip_x is None else _pad_to_128(skip_x.shape[-1])
+    if _pick_tiles(h, wd, c_pad, co, x.dtype.itemsize,
+                   skip_c=csk_pad)[0] is None:
+        # graceful degrade (fp32 runs, exotic shapes): the gate is tuned
+        # for bf16 — never raise inside jit, run the XLA composition
+        return _xla_fallback(x, w, bias, a, b, extra_bias, residual,
+                             skip_x, skip_w, act, emit_stats)
     if c_pad != c or co != co_real:
         x = _pad_last(x, c_pad)
         w = jnp.pad(w, [(0, 0), (0, 0), (0, c_pad - c),
@@ -467,14 +514,14 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
     return None, None, 1
 
 
-def downsample_supported(x_shape, co: int) -> bool:
+def downsample_supported(x_shape, co: int, itemsize: int = 2) -> bool:
     b, h, w, c = x_shape
     if c < 128 or co < 128 or c % 8 or co % 8:
         return False
     if h % 2 or w % 2 or (w // 2) % 8:
         return False
     th, tco, _ = _pick_tiles_down(h // 2, w, _pad_to_128(c),
-                                  _pad_to_128(co), 2)
+                                  _pad_to_128(co), itemsize)
     return th is not None
 
 
@@ -638,6 +685,11 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
     co_real = w.shape[-1]
     c_pad = _pad_to_128(c)
     co = _pad_to_128(co_real)
+    if _pick_tiles_down(hin // 2, tw, c_pad, co,
+                        x.dtype.itemsize)[0] is None:
+        return _xla_fallback(x, w, bias, None, None, None, None, None,
+                             None, None, emit_stats, stride=2,
+                             pad_lo=pad_lo)
     if c_pad != c or co != co_real:
         x = _pad_last(x, c_pad)
         w = jnp.pad(w, [(0, 0), (0, 0), (0, c_pad - c), (0, co - co_real)])
@@ -645,7 +697,6 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         c = c_pad
     hout, w2 = hin // 2, tw // 2
     th, tco, nbuf = _pick_tiles_down(hout, tw, c, co, x.dtype.itemsize)
-    assert th is not None, f"unsupported shape {x.shape} -> {co}"
     nh, nco = hout // th, co // tco
     bias2 = bias.reshape(1, co)
 
@@ -750,11 +801,13 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
     return None, None, 1
 
 
-def upsample_supported(x_shape, co: int) -> bool:
+def upsample_supported(x_shape, co: int, itemsize: int = 2,
+                       skip_c: int = 0) -> bool:
     b, h, w, c = x_shape
     if c % 128 or co % 128:
         return False
-    th, tco, _ = _pick_tiles_up(h, w, c, co, 2)
+    th, tco, _ = _pick_tiles_up(h, w, c, co, itemsize,
+                                skip_c=_pad_to_128(skip_c))
     return th is not None and h >= 2 and w % 8 == 0
 
 
@@ -917,7 +970,10 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
     csk = 0 if skip_x is None else skip_x.shape[-1]
     th, tco, nbuf = _pick_tiles_up(h, wd, c, co, x.dtype.itemsize,
                                    skip_c=csk)
-    assert th is not None, f"unsupported shape {x.shape} -> {co}"
+    if th is None:
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _xla_fallback(up, w, bias, None, None, None, None,
+                             skip_x, skip_w, None, emit_stats)
     nh, nco = h // th, co // tco
     wf = _fold_upsample_weights(w.astype(x.dtype))
     bias2 = bias.reshape(1, co)

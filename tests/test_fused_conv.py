@@ -1,0 +1,250 @@
+"""Interpret-mode parity tests for the Pallas fused-conv kernel engine
+(ops/fused_conv.py) vs the XLA composition.
+
+These close the round-2 advisor gap: the engine previously had no automated
+coverage (pytest forces CPU, so models route to XLA fallbacks). Here the
+kernels are invoked DIRECTLY in TPU-interpret mode, covering:
+- the stride-1 GN+SiLU+conv kernel with every epilogue feature
+  (extra_bias / residual / skip fusion / emit_stats) and stats chaining
+  (emit_stats -> combine_stats -> next kernel's folded affine),
+- the stride-2 phase-decomposed downsample kernel (both paddings),
+- the 2x-upsample phase kernel (with skip fusion),
+- multi-tile grids (nh > 1: manual halo DMAs) and the nbuf=2 DMA-prefetch
+  double-buffer path,
+- channel padding (C/Co not 128-multiples),
+- the graceful XLA fallback when the tile pick fails at the real dtype.
+
+Reference semantics: conv3x3(silu(GN(x))) resnet bodies of the diffusers
+UNet/VAE the reference composes (/root/reference/src/model.py:14-54).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from img2img_turbo_tpu.ops import fused_conv as fc
+from img2img_turbo_tpu.ops.groupnorm import group_norm_coeffs
+
+NG, EPS = 32, 1e-6
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+
+
+def _gn_affine(x, scale, bias):
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h, w, NG, c // NG).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 2, 4))
+    var = jnp.mean(jnp.square(xg - mean[:, None, None, :, None]),
+                   axis=(1, 2, 4))
+    inv = jax.lax.rsqrt(var + EPS)
+    sg = scale.reshape(NG, c // NG)
+    bg = bias.reshape(NG, c // NG)
+    a = inv[..., None] * sg[None]
+    bt = bg[None] - mean[..., None] * a
+    return a.reshape(b, c), bt.reshape(b, c)
+
+
+def _ref_stride1(x, w, cb, a=None, b=None, eb=None, res=None, skx=None,
+                 skw=None):
+    h = x
+    if a is not None:
+        h = h * a[:, None, None, :].astype(x.dtype) \
+            + b[:, None, None, :].astype(x.dtype)
+        h = h * jax.nn.sigmoid(h)
+    y = _conv(h, w) + cb
+    if eb is not None:
+        y = y + eb[:, None, None, :]
+    if skx is not None:
+        y = y + jnp.dot(skx, skw.astype(skx.dtype))
+    if res is not None:
+        y = y + res
+    return y
+
+
+def _data(seed, *shapes, dt=jnp.float32):
+    rng = np.random.RandomState(seed)
+    return [jnp.asarray(rng.randn(*s) * 0.5, dt) for s in shapes]
+
+
+class TestStride1Kernel:
+    @pytest.mark.parametrize("feat", ["plain", "norm", "eb", "res", "skip",
+                                      "all"])
+    def test_epilogue_variants(self, feat):
+        B, H, W, C, Co, Csk = 2, 16, 16, 128, 128, 256
+        x, w, skx = _data(1, (B, H, W, C), (3, 3, C, Co), (B, H, W, Csk))
+        w = w * 0.1
+        (cb,) = _data(2, (Co,))
+        skw = _data(3, (Csk, Co))[0] * 0.02
+        eb = _data(4, (B, Co))[0] if feat in ("eb", "all") else None
+        res = _data(5, (B, H, W, Co))[0] if feat in ("res", "all") else None
+        if feat == "plain":
+            a = b = None
+        else:
+            scale = jnp.asarray(1 + 0.1 * np.random.RandomState(6).randn(C),
+                                jnp.float32)
+            bias = jnp.asarray(0.1 * np.random.RandomState(7).randn(C),
+                               jnp.float32)
+            a, b = _gn_affine(x, scale, bias)
+        if feat not in ("skip", "all"):
+            skx = skw = None
+        assert fc.supported(x.shape, Co, x.dtype.itemsize,
+                            skip_c=0 if skx is None else Csk)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(
+                x, w, cb, a=a, b=b, extra_bias=eb, residual=res,
+                skip_x=skx, skip_w=skw, emit_stats=True, interpret=True)
+        ref = _ref_stride1(x, w, cb, a, b, eb, res, skx, skw)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        # emitted stats = per-tile partial sums of the OUTPUT
+        sums = np.asarray(st.sum(axis=1))
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(sums[:, 0], rf.sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(sums[:, 1], (rf * rf).sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_multi_tile_halo(self):
+        """nh > 1: the manual top/bottom halo DMAs and boundary masks."""
+        B, H, W, C, Co = 1, 256, 16, 512, 256
+        th, tco, _ = fc._pick_tiles(H, W, C, Co, 4)
+        assert th is not None and H // th > 1, (th, tco)
+        x, w = _data(8, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(9, (Co,))
+        with pltpu.force_tpu_interpret_mode():
+            y, _ = fc.fused_gn_silu_conv3x3(x, w, cb, interpret=True)
+        ref = _ref_stride1(x, w, cb)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_channel_padding(self):
+        """C=64 and Co=3 pad to 128 inside the wrapper (conv_in/out class)."""
+        B, H, W, C, Co = 1, 16, 16, 64, 3
+        x, w = _data(10, (B, H, W, C), (3, 3, C, Co))
+        (cb,) = _data(11, (Co,))
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(x, w, cb, emit_stats=True,
+                                             interpret=True)
+        assert y.shape == (B, H, W, Co) and st.shape[-1] == Co
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(_ref_stride1(x, w, cb)),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stats_chaining_combine(self):
+        """kernel1 emit_stats -> combine_stats -> kernel2 folded affine
+        equals a fresh GroupNorm on kernel1's output."""
+        B, H, W, C = 1, 16, 16, 128
+        x, w1, w2 = _data(12, (B, H, W, C), (3, 3, C, C), (3, 3, C, C))
+        w1, w2 = w1 * 0.1, w2 * 0.1
+        cb1, cb2 = _data(13, (C,), (C,))
+        scale = jnp.ones((C,), jnp.float32)
+        bias = jnp.zeros((C,), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y1, st = fc.fused_gn_silu_conv3x3(x, w1, cb1, emit_stats=True,
+                                              interpret=True)
+            a, b = fc.combine_stats(st, scale, bias, NG, EPS, count=H * W)
+            y2, _ = fc.fused_gn_silu_conv3x3(y1, w2, cb2, a=a, b=b,
+                                             interpret=True)
+        a_ref, b_ref = _gn_affine(y1, scale, bias)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                                   rtol=2e-3, atol=2e-3)
+        ref = _ref_stride1(y1, w2, cb2, a_ref, b_ref)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fp32_fallback_when_pick_fails(self):
+        """bf16 gate passes but the fp32 pick fails -> XLA fallback, no
+        assert inside jit (advisor round-2 medium #1)."""
+        B, H, W, C, Co = 1, 16, 16, 1280, 1280
+        assert fc.supported((B, H, W, C), Co, 2)
+        assert not fc.supported((B, H, W, C), Co, 4)
+        x, w = _data(14, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.02
+        (cb,) = _data(15, (Co,))
+        y, st = fc.fused_gn_silu_conv3x3(x, w, cb, emit_stats=True)
+        assert st.shape == (B, 1, 2, Co)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(_ref_stride1(x, w, cb)),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestDownsampleKernel:
+    @pytest.mark.parametrize("pad_lo", [0, 1])
+    def test_matches_strided_conv(self, pad_lo):
+        B, H, W, C, Co = 1, 32, 32, 128, 128
+        x, w = _data(20 + pad_lo, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.1
+        (cb,) = _data(22, (Co,))
+        assert fc.downsample_supported(x.shape, Co, x.dtype.itemsize)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.downsample2x_conv3x3(x, w, cb, pad_lo=pad_lo,
+                                            emit_stats=True, interpret=True)
+        ref = _conv(x, w, stride=2,
+                    padding=[(pad_lo, 1), (pad_lo, 1)]) + cb
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
+                                   rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+    def test_multi_tile_and_prefetch(self):
+        """A shape whose pick gives nh > 1 (halo DMA + per-tile phase
+        rebuild); prefetch nbuf follows the picker."""
+        B, H, W, C, Co = 1, 128, 16, 512, 512
+        th, tco, nbuf = fc._pick_tiles_down(H // 2, W, C, Co, 4)
+        assert th is not None and (H // 2) // th > 1, (th, nbuf)
+        x, w = _data(23, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(24, (Co,))
+        with pltpu.force_tpu_interpret_mode():
+            y, _ = fc.downsample2x_conv3x3(x, w, cb, pad_lo=0,
+                                           interpret=True)
+        ref = _conv(x, w, stride=2, padding=[(0, 1), (0, 1)]) + cb
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestUpsampleKernel:
+    def test_matches_upsample_conv(self):
+        B, H, W, C, Co = 1, 16, 16, 128, 128
+        x, w = _data(30, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.1
+        (cb,) = _data(31, (Co,))
+        assert fc.upsample_supported(x.shape, Co, x.dtype.itemsize)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.upsample2x_conv3x3(x, w, cb, emit_stats=True,
+                                          interpret=True)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = _conv(up, w) + cb
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
+                                   rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+    def test_skip_fusion_and_multi_tile(self):
+        """Epilogue 1x1 skip at output resolution + nh > 1 halo path
+        (the VAE skip-decoder configuration)."""
+        B, H, W, C, Co, Csk = 1, 64, 16, 256, 128, 128
+        th, tco, nbuf = fc._pick_tiles_up(H, W, C, Co, 4, skip_c=Csk)
+        assert th is not None and H // th > 1, (th, nbuf)
+        x, w, skx = _data(32, (B, H, W, C), (3, 3, C, Co),
+                          (B, 2 * H, 2 * W, Csk))
+        w = w * 0.05
+        (cb,) = _data(33, (Co,))
+        skw = _data(34, (Csk, Co))[0] * 0.02
+        with pltpu.force_tpu_interpret_mode():
+            y, _ = fc.upsample2x_conv3x3(x, w, cb, skip_x=skx, skip_w=skw,
+                                         interpret=True)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = _conv(up, w) + cb + jnp.dot(skx, skw)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
