@@ -120,6 +120,26 @@ def _pad_last(arr, to: int):
     return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, d)])
 
 
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_spatial(arr, hp: int, wp: int):
+    """Zero-pad rows/cols of (B, H, W, C) up to (hp, wp).
+
+    Zero SPATIAL padding preserves exact SAME-conv semantics on the true
+    region: the true right/bottom edge reads the zero pad exactly as SAME
+    padding would, pad-region outputs are garbage that the wrapper slices
+    off, and in-kernel masks keep emitted stats exact. This is what lets
+    arbitrary ×8-cropped inputs (e.g. the reference's 840×560 bird example,
+    inference_paired.py:39-41 — latent widths 105/53/27) stay on the Pallas
+    path at every level instead of degrading to mixed XLA/Pallas graphs."""
+    b, h, w, c = arr.shape
+    if h == hp and w == wp:
+        return arr
+    return jnp.pad(arr, [(0, 0), (0, hp - h), (0, wp - w), (0, 0)])
+
+
 def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
     """TPU-compilable gate: the manual halo DMA and the output pipeline
     slice the lane (channel) dim, which Mosaic only allows at 128-aligned
@@ -131,17 +151,23 @@ def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
     `itemsize`/`skip_c` must match what the wrapper will actually run with
     (the activation dtype's itemsize; the 128-padded skip channel count) —
     the tile picker's VMEM budget depends on both, and the wrapper falls
-    back to the XLA composition if its own pick fails."""
+    back to the XLA composition if its own pick fails.
+
+    Odd spatial sizes are fine: the wrapper zero-pads H/W to multiples of 8
+    (exact SAME-conv semantics, see _pad_spatial) so the gate only needs
+    the PADDED dims to tile."""
     b, h, w, c = x_shape
-    th, tco, _ = _pick_tiles(h, w, _pad_to_128(c), _pad_to_128(co),
-                             itemsize, skip_c=_pad_to_128(skip_c))
-    return th is not None and h >= 2 and w % 8 == 0
+    th, tco, _ = _pick_tiles(_ceil_to(h, 8), _ceil_to(w, 8), _pad_to_128(c),
+                             _pad_to_128(co), itemsize,
+                             skip_c=_pad_to_128(skip_c))
+    return th is not None and h >= 2
 
 
 _CHUNK_BYTES = 1024 * 1024  # fp32 prologue working-set bound (per temp)
 
 
-def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
+def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
+              mask_h=None, mask_w=None):
     """Normalize(+SiLU) the loaded tile and build its column-shift copies.
 
     Processed in chunks of whole image rows so the fp32 temporaries (the
@@ -150,6 +176,10 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
     scoped-vmem stack and force tiny tiles. The flat-roll cross-row wraps
     (including at chunk boundaries) land on col==0 / col==tw-1 positions,
     which are masked to the SAME-padding zero anyway.
+
+    mask_h/mask_w (true H/W when the wrapper spatially padded): zero-pad
+    rows/cols must stay ZERO post-normalize (silu(0*a + b) != 0 would bleed
+    into the true region's edge taps).
     """
     i = pl.program_id(1)
     nh = pl.num_programs(1)
@@ -166,15 +196,21 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
                 xn = xn * jax.nn.sigmoid(xn)
         # image-boundary halo rows must stay ZERO post-activation
         rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+        col = jax.lax.rem(rows, tw)
         if k0 == 0:
             xn = jnp.where(jnp.logical_or(rows >= tw, i > 0), xn, 0.0)
         if k0 + kn == th + 2:
             xn = jnp.where(jnp.logical_or(rows < rc - tw, i < nh - 1),
                            xn, 0.0)
+        if mask_h is not None:
+            # global input row of flat row r: i*th - 1 + k0 + r // tw
+            gr = i * th - 1 + k0 + rows // tw
+            xn = jnp.where(gr < mask_h, xn, 0.0)
+        if mask_w is not None:
+            xn = jnp.where(col < mask_w, xn, 0.0)
         xbuf[1, pl.ds(k0, kn)] = xn.astype(dt).reshape(kn, tw, cin)
         # column tap dj=0 reads x[.., oj-1]: shift flat rows down by 1; the
         # first column of each image row has no left neighbor -> zero
-        col = jax.lax.rem(rows, tw)
         left = jnp.where(col == 0, 0.0, pltpu.roll(xn, 1, 0))
         xbuf[0, pl.ds(k0, kn)] = left.astype(dt).reshape(kn, tw, cin)
         right = jnp.where(col == tw - 1, 0.0, pltpu.roll(xn, rc - 1, 0))
@@ -183,7 +219,8 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act):
 
 def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             x_hbm, out_ref, stats_ref, xbuf, sem, *, th, tw, cin, tco,
-            normalize, act, emit_stats, out_dtype, nbuf):
+            normalize, act, emit_stats, out_dtype, nbuf, mask_h=None,
+            mask_w=None):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
@@ -275,19 +312,20 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
                 def _():
                     bot_dma(i + 1, 1 - slot).start()
 
+        pmask = dict(mask_h=mask_h, mask_w=mask_w) if normalize else {}
         if nbuf == 1:
             _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                      normalize=normalize, act=act)
+                      normalize=normalize, act=act, **pmask)
         else:
             @pl.when(slot == 0)
             def _pr0():
                 _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                          normalize=normalize, act=act)
+                          normalize=normalize, act=act, **pmask)
 
             @pl.when(slot == 1)
             def _pr1():
                 _prologue(xbuf.at[1], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                          normalize=normalize, act=act)
+                          normalize=normalize, act=act, **pmask)
 
     def compute(sl):
         # static slot: a traced slot index in the matmul operands forces
@@ -315,6 +353,17 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         if res_ref is not None:
             y = y + res_ref[0].astype(jnp.float32)
         yo = y.astype(out_dtype)
+        if mask_h is not None or mask_w is not None:
+            # spatial padding in play: zero the pad region so the emitted
+            # stats stay exact (the output slice drops it anyway)
+            m = jnp.full((th, tw, 1), True)
+            if mask_h is not None:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
+                m = jnp.logical_and(m, ri + i * th < mask_h)
+            if mask_w is not None:
+                ci = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
+                m = jnp.logical_and(m, ci < mask_w)
+            yo = jnp.where(m, yo, 0)
         out_ref[0] = yo
         if emit_stats:
             yf = yo.astype(jnp.float32)
@@ -362,9 +411,10 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     # schedule XLA emits for a conv pinned by Pallas neighbors.
     c_pad = _pad_to_128(c)
     co = _pad_to_128(co_real)
+    hp, wp = _ceil_to(h, 8), _ceil_to(wd, 8)
     csk_pad = 0 if skip_x is None else _pad_to_128(skip_x.shape[-1])
-    if _pick_tiles(h, wd, c_pad, co, x.dtype.itemsize,
-                   skip_c=csk_pad)[0] is None:
+    if h < 2 or _pick_tiles(hp, wp, c_pad, co, x.dtype.itemsize,
+                            skip_c=csk_pad)[0] is None:
         # graceful degrade (fp32 runs, exotic shapes): the gate is tuned
         # for bf16 — never raise inside jit, run the XLA composition
         return _xla_fallback(x, w, bias, a, b, extra_bias, residual,
@@ -389,9 +439,15 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         skip_x = _pad_last(skip_x, pad_sk)
         skip_w = jnp.pad(skip_w, [(0, pad_sk - skip_w.shape[0]), (0, 0)])
     csk = 0 if skip_x is None else skip_x.shape[-1]
-    th, tco, nbuf = _pick_tiles(h, wd, c, co, x.dtype.itemsize, skip_c=csk)
+    if (hp, wp) != (h, wd):
+        x = _pad_spatial(x, hp, wp)
+        if residual is not None:
+            residual = _pad_spatial(residual, hp, wp)
+        if skip_x is not None:
+            skip_x = _pad_spatial(skip_x, hp, wp)
+    th, tco, nbuf = _pick_tiles(hp, wp, c, co, x.dtype.itemsize, skip_c=csk)
     assert th is not None, f"unsupported shape {x.shape} -> {co}"
-    nh, nco = h // th, co // tco
+    nh, nco = hp // th, co // tco
     normalize = a is not None
     if normalize:
         a2 = a.astype(jnp.float32)
@@ -417,12 +473,12 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
                                      memory_space=pltpu.VMEM))
         args.append(extra_bias.astype(jnp.float32))
     if residual is not None:
-        in_specs.append(pl.BlockSpec((1, th, wd, tco),
+        in_specs.append(pl.BlockSpec((1, th, wp, tco),
                                      lambda bb, i, j: (bb, i, 0, j),
                                      memory_space=pltpu.VMEM))
         args.append(residual)
     if skip_x is not None:
-        in_specs.append(pl.BlockSpec((1, th, wd, csk),
+        in_specs.append(pl.BlockSpec((1, th, wp, csk),
                                      lambda bb, i, j: (bb, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(skip_x)
@@ -432,8 +488,8 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     args.append(x)
 
-    out_shapes = [jax.ShapeDtypeStruct((bsz, h, wd, co), x.dtype)]
-    out_specs = [pl.BlockSpec((1, th, wd, tco),
+    out_shapes = [jax.ShapeDtypeStruct((bsz, hp, wp, co), x.dtype)]
+    out_specs = [pl.BlockSpec((1, th, wp, tco),
                               lambda bb, i, j: (bb, i, 0, j),
                               memory_space=pltpu.VMEM)]
     if emit_stats:
@@ -457,9 +513,11 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         stats_ref = refs[pos + 2] if emit_stats else None
         xbuf, sem = refs[-2], refs[-1]
         _kernel(refs[0], refs[1], refs[2], refs[3], eb, res, sk, skw,
-                x_hbm, out_ref, stats_ref, xbuf, sem, th=th, tw=wd, cin=c,
+                x_hbm, out_ref, stats_ref, xbuf, sem, th=th, tw=wp, cin=c,
                 tco=tco, normalize=normalize, act=act,
-                emit_stats=emit_stats, out_dtype=x.dtype, nbuf=nbuf)
+                emit_stats=emit_stats, out_dtype=x.dtype, nbuf=nbuf,
+                mask_h=h if hp != h else None,
+                mask_w=wd if wp != wd else None)
 
     outs = pl.pallas_call(
         kernel,
@@ -468,21 +526,23 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 3, th + 2, wd, c), x.dtype),
+            pltpu.VMEM((nbuf, 3, th + 2, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf, 3)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * h * wd * 9 * c * co,
-            transcendentals=bsz * h * wd * c if normalize else 0,
-            bytes_accessed=(bsz * h * wd * (c + co) * x.dtype.itemsize
+            flops=2 * bsz * hp * wp * 9 * c * co,
+            transcendentals=bsz * hp * wp * c if normalize else 0,
+            bytes_accessed=(bsz * hp * wp * (c + co) * x.dtype.itemsize
                             + 9 * c * co * w.dtype.itemsize)),
         interpret=interpret,
     )(*args)
     y, stats = outs if emit_stats else (outs, None)
+    if (hp, wp) != (h, wd):
+        y = y[:, :h, :wd]
     if co != co_real:
         y = y[..., :co_real]
-        if stats is not None:
-            stats = stats[..., :co_real]
+    if stats is not None and co != co_real:
+        stats = stats[..., :co_real]
     return y, stats
 
 
@@ -515,18 +575,22 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
 
 
 def downsample_supported(x_shape, co: int, itemsize: int = 2) -> bool:
+    """Odd/non-÷16 spatial sizes are handled by wrapper zero-padding
+    (exact stride-2 conv semantics — the pad region is sliced off and
+    masked out of the stats); only channel-count constraints remain."""
     b, h, w, c = x_shape
     if c < 128 or co < 128 or c % 8 or co % 8:
         return False
-    if h % 2 or w % 2 or (w // 2) % 8:
+    if h < 2 or w < 2:
         return False
-    th, tco, _ = _pick_tiles_down(h // 2, w, _pad_to_128(c),
-                                  _pad_to_128(co), itemsize)
+    th, tco, _ = _pick_tiles_down(_ceil_to(h, 16) // 2, _ceil_to(w, 16),
+                                  _pad_to_128(c), _pad_to_128(co), itemsize)
     return th is not None
 
 
 def _down_kernel(w_ref, bias_ref, x_hbm, out_ref, stats_ref, raw, pbuf, sem,
-                 *, th, tw, cin, tco, pad_lo, out_dtype, emit_stats, nbuf):
+                 *, th, tw, cin, tco, pad_lo, out_dtype, emit_stats, nbuf,
+                 mask_h=None, mask_w=None):
     """Stride-2 conv3x3 via input phase decomposition.
 
     raw: (2th+2, W, C) holding x[2*i*th - pad_lo + k] for k in [0, 2th]
@@ -666,6 +730,16 @@ def _down_kernel(w_ref, bias_ref, x_hbm, out_ref, stats_ref, raw, pbuf, sem,
                                 preferred_element_type=jnp.float32)
     acc = acc + bias_ref[0].astype(jnp.float32)
     yo = acc.reshape(th, w2, tco).astype(out_dtype)
+    if mask_h is not None or mask_w is not None:
+        # spatial padding: zero the pad region so emitted stats stay exact
+        m = jnp.full((th, w2, 1), True)
+        if mask_h is not None:
+            ri = jax.lax.broadcasted_iota(jnp.int32, (th, w2, 1), 0)
+            m = jnp.logical_and(m, ri + i * th < mask_h)
+        if mask_w is not None:
+            ci = jax.lax.broadcasted_iota(jnp.int32, (th, w2, 1), 1)
+            m = jnp.logical_and(m, ci < mask_w)
+        yo = jnp.where(m, yo, 0)
     out_ref[0] = yo
     if emit_stats:
         yf = yo.astype(jnp.float32)
@@ -685,8 +759,13 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
     co_real = w.shape[-1]
     c_pad = _pad_to_128(c)
     co = _pad_to_128(co_real)
-    if _pick_tiles_down(hin // 2, tw, c_pad, co,
-                        x.dtype.itemsize)[0] is None:
+    # true output dims from the stride-2 conv formula with (pad_lo, 1)
+    # padding (matches torch/lax for odd sizes too)
+    hout_real = (hin + pad_lo - 2) // 2 + 1
+    wout_real = (tw + pad_lo - 2) // 2 + 1
+    hp, wp = _ceil_to(hin, 16), _ceil_to(tw, 16)
+    if hin < 2 or tw < 2 or _pick_tiles_down(
+            hp // 2, wp, c_pad, co, x.dtype.itemsize)[0] is None:
         return _xla_fallback(x, w, bias, None, None, None, None, None,
                              None, None, emit_stats, stride=2,
                              pad_lo=pad_lo)
@@ -695,8 +774,9 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         w = jnp.pad(w, [(0, 0), (0, 0), (0, c_pad - c), (0, co - co_real)])
         bias = _pad_last(bias, co)
         c = c_pad
-    hout, w2 = hin // 2, tw // 2
-    th, tco, nbuf = _pick_tiles_down(hout, tw, c, co, x.dtype.itemsize)
+    x = _pad_spatial(x, hp, wp)
+    hout, w2 = hp // 2, wp // 2
+    th, tco, nbuf = _pick_tiles_down(hout, wp, c, co, x.dtype.itemsize)
     nh, nco = hout // th, co // tco
     bias2 = bias.reshape(1, co)
 
@@ -704,8 +784,10 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         stats_ref = rest[0] if emit_stats else None
         raw, pbuf, sem = rest[-3], rest[-2], rest[-1]
         _down_kernel(w_ref, b_ref, x_hbm, out_ref, stats_ref, raw, pbuf,
-                     sem, th=th, tw=tw, cin=c, tco=tco, pad_lo=pad_lo,
-                     out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf)
+                     sem, th=th, tw=wp, cin=c, tco=tco, pad_lo=pad_lo,
+                     out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf,
+                     mask_h=hout_real if hout_real != hout else None,
+                     mask_w=wout_real if wout_real != w2 else None)
 
     in_specs = [
         pl.BlockSpec((3, 3, c, tco), lambda bb, i, j: (0, 0, 0, j),
@@ -731,19 +813,21 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2 * th + 2, tw, c), x.dtype),
+            pltpu.VMEM((nbuf, 2 * th + 2, wp, c), x.dtype),
             pltpu.VMEM((2, 3, th + 1, w2, c), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * hout * w2 * 9 * c * co,
             transcendentals=0,
-            bytes_accessed=(bsz * hin * tw * c * x.dtype.itemsize
+            bytes_accessed=(bsz * hp * wp * c * x.dtype.itemsize
                             + bsz * hout * w2 * co * x.dtype.itemsize
                             + 9 * c * co * w.dtype.itemsize)),
         interpret=interpret,
     )(w.astype(x.dtype), bias2, x)
     y, stats = outs if emit_stats else (outs, None)
+    if (hout_real, wout_real) != (hout, w2):
+        y = y[:, :hout_real, :wout_real]
     if co != co_real:
         y = y[..., :co_real]
         if stats is not None:
@@ -803,17 +887,20 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
 
 def upsample_supported(x_shape, co: int, itemsize: int = 2,
                        skip_c: int = 0) -> bool:
+    """Spatial sizes are unconstrained (wrapper zero-pads to ÷8 — exact
+    upsample+SAME-conv semantics on the true region); channels must be
+    128-multiples (this wrapper does not channel-pad)."""
     b, h, w, c = x_shape
     if c % 128 or co % 128:
         return False
-    th, tco, _ = _pick_tiles_up(h, w, c, co, itemsize,
-                                skip_c=_pad_to_128(skip_c))
-    return th is not None and h >= 2 and w % 8 == 0
+    th, tco, _ = _pick_tiles_up(_ceil_to(h, 8), _ceil_to(w, 8), c, co,
+                                itemsize, skip_c=_pad_to_128(skip_c))
+    return th is not None and h >= 2
 
 
 def _up_kernel(w_ref, bias_ref, sk_ref, skw_ref, x_hbm, out_ref, stats_ref,
                xbuf, sem, *, th, tw, cin, tco, out_dtype, emit_stats,
-               nbuf):
+               nbuf, mask_h=None, mask_w=None):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
@@ -936,6 +1023,19 @@ def _up_kernel(w_ref, bias_ref, sk_ref, skw_ref, x_hbm, out_ref, stats_ref,
             skm = jnp.dot(sk_ref[0].reshape(4 * th * tw, csk), skw_ref[...],
                           preferred_element_type=jnp.float32)
             out = out + skm.reshape(2 * th, 2 * tw, tco).astype(out_dtype)
+        if mask_h is not None or mask_w is not None:
+            # spatial padding: zero the pad region so emitted stats stay
+            # exact (masks are in OUTPUT coordinates, 2x the input's)
+            m = jnp.full((2 * th, 2 * tw, 1), True)
+            if mask_h is not None:
+                ri = jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * th, 2 * tw, 1), 0)
+                m = jnp.logical_and(m, ri + i * 2 * th < mask_h)
+            if mask_w is not None:
+                ci = jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * th, 2 * tw, 1), 1)
+                m = jnp.logical_and(m, ci < mask_w)
+            out = jnp.where(m, out, 0)
         out_ref[0] = out
         if emit_stats:
             of = out.astype(jnp.float32)
@@ -968,13 +1068,17 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
     bsz, h, wd, c = x.shape
     co = w.shape[-1]
     csk = 0 if skip_x is None else skip_x.shape[-1]
-    th, tco, nbuf = _pick_tiles_up(h, wd, c, co, x.dtype.itemsize,
+    hp, wp = _ceil_to(h, 8), _ceil_to(wd, 8)
+    th, tco, nbuf = _pick_tiles_up(hp, wp, c, co, x.dtype.itemsize,
                                    skip_c=csk)
-    if th is None:
+    if th is None or h < 2:
         up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return _xla_fallback(up, w, bias, None, None, None, None,
                              skip_x, skip_w, None, emit_stats)
-    nh, nco = h // th, co // tco
+    x = _pad_spatial(x, hp, wp)
+    if skip_x is not None:
+        skip_x = _pad_spatial(skip_x, 2 * hp, 2 * wp)
+    nh, nco = hp // th, co // tco
     wf = _fold_upsample_weights(w.astype(x.dtype))
     bias2 = bias.reshape(1, co)
 
@@ -986,7 +1090,7 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
     ]
     args = [wf, bias2]
     if skip_x is not None:
-        in_specs.append(pl.BlockSpec((1, 2 * th, 2 * wd, csk),
+        in_specs.append(pl.BlockSpec((1, 2 * th, 2 * wp, csk),
                                      lambda bb, i, j: (bb, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(skip_x)
@@ -995,10 +1099,10 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         args.append(skip_w.astype(x.dtype))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     args.append(x)
-    out_specs = [pl.BlockSpec((1, 2 * th, 2 * wd, tco),
+    out_specs = [pl.BlockSpec((1, 2 * th, 2 * wp, tco),
                               lambda bb, i, j: (bb, i, 0, j),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((bsz, 2 * h, 2 * wd, co), x.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, 2 * hp, 2 * wp, co), x.dtype)]
     if emit_stats:
         out_specs.append(pl.BlockSpec((1, 1, 2, tco),
                                       lambda bb, i, j: (bb, i, 0, j),
@@ -1016,8 +1120,10 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         stats_ref = refs[pos + 2] if emit_stats else None
         xbuf, sem = refs[-2], refs[-1]
         _up_kernel(refs[0], refs[1], sk, skw, x_hbm, out_ref, stats_ref,
-                   xbuf, sem, th=th, tw=wd, cin=c, tco=tco,
-                   out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf)
+                   xbuf, sem, th=th, tw=wp, cin=c, tco=tco,
+                   out_dtype=x.dtype, emit_stats=emit_stats, nbuf=nbuf,
+                   mask_h=2 * h if hp != h else None,
+                   mask_w=2 * wd if wp != wd else None)
 
     outs = pl.pallas_call(
         kernel,
@@ -1026,17 +1132,20 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 3, th + 2, wd, c), x.dtype),
+            pltpu.VMEM((nbuf, 3, th + 2, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf, 3)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * h * wd * 16 * c * co,
+            flops=2 * bsz * hp * wp * 16 * c * co,
             transcendentals=0,
-            bytes_accessed=(bsz * h * wd * (c + 4 * co) * x.dtype.itemsize
+            bytes_accessed=(bsz * hp * wp * (c + 4 * co) * x.dtype.itemsize
                             + 16 * c * co * w.dtype.itemsize)),
         interpret=interpret,
     )(*args)
-    return outs if emit_stats else (outs, None)
+    y, stats = outs if emit_stats else (outs, None)
+    if (hp, wp) != (h, wd):
+        y = y[:, :2 * h, :2 * wd]
+    return y, stats
 
 
 def combine_stats(partials, scale, bias, num_groups: int, eps: float,

@@ -64,10 +64,17 @@ def group_norm_coeffs(x, scale, bias, num_groups: int, eps: float,
     for d in x.shape[1:-1]:
         s *= d
     xr = x.reshape(b, s, c)
-    ts = _pick_tile(s, c, xr.dtype.itemsize)
+    # odd spatial sizes (e.g. 70x105 latents from x8-cropped inputs):
+    # zero-pad the flattened spatial dim — zeros contribute nothing to
+    # sum / sum-of-squares, and the combine divides by the REAL s below,
+    # so the statistics are exact.
+    sp = -(-s // 8) * 8
+    if sp != s:
+        xr = jnp.pad(xr, [(0, 0), (0, sp - s), (0, 0)])
+    ts = _pick_tile(sp, c, xr.dtype.itemsize)
     if ts == 0:
-        raise ValueError(f"no valid tile for S={s}, C={c}")
-    n_tiles = s // ts
+        raise ValueError(f"no valid tile for S={sp}, C={c}")
+    n_tiles = sp // ts
 
     partials = pl.pallas_call(
         _partial_stats_kernel,
@@ -78,8 +85,8 @@ def group_norm_coeffs(x, scale, bias, num_groups: int, eps: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles, 2, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * b * s * c, transcendentals=0,
-            bytes_accessed=b * s * c * xr.dtype.itemsize + b * n_tiles * 2 * c * 4),
+            flops=3 * b * sp * c, transcendentals=0,
+            bytes_accessed=b * sp * c * xr.dtype.itemsize + b * n_tiles * 2 * c * 4),
         interpret=interpret,
     )(xr)
 
@@ -98,7 +105,8 @@ def group_norm_coeffs(x, scale, bias, num_groups: int, eps: float,
 
 
 def supported(x, num_groups: int) -> bool:
-    """Static check: shapes this kernel handles."""
+    """Static check: shapes this kernel handles (spatial size is
+    unconstrained — the wrapper zero-pads it to a multiple of 8)."""
     if x.ndim < 3:
         return False
     c = x.shape[-1]
@@ -107,4 +115,4 @@ def supported(x, num_groups: int) -> bool:
     s = 1
     for d in x.shape[1:-1]:
         s *= d
-    return _pick_tile(s, c, jnp.dtype(x.dtype).itemsize) > 0
+    return _pick_tile(-(-s // 8) * 8, c, jnp.dtype(x.dtype).itemsize) > 0

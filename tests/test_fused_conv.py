@@ -176,6 +176,80 @@ class TestStride1Kernel:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestOddSpatialShapes:
+    """Arbitrary (non-÷8) H/W stay on the kernel path via in-wrapper zero
+    padding — the reference's flagship 840×560 bird example hits latent
+    widths 105/53/27 (inference_paired.py:39-41 crops to ×8 only), which
+    previously fell into mixed XLA/Pallas graphs."""
+
+    @pytest.mark.parametrize("hw", [(70, 105), (53, 27), (7, 7), (14, 105)])
+    def test_stride1_gn_silu(self, hw):
+        H, W = hw
+        B, C, Co = 2, 128, 128
+        x, w = _data(40, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(41, (Co,))
+        scale = jnp.asarray(1 + 0.1 * np.random.RandomState(42).randn(C),
+                            jnp.float32)
+        bias = jnp.asarray(0.1 * np.random.RandomState(43).randn(C),
+                           jnp.float32)
+        a, b = _gn_affine(x, scale, bias)
+        assert fc.supported(x.shape, Co, x.dtype.itemsize)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(x, w, cb, a=a, b=b,
+                                             emit_stats=True, interpret=True)
+        ref = _ref_stride1(x, w, cb, a, b)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
+                                   rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("cfg", [(105, 70, 0), (105, 70, 1),
+                                     (53, 27, 0), (14, 106, 1)])
+    def test_downsample(self, cfg):
+        H, W, pad_lo = cfg
+        B, C, Co = 1, 128, 128
+        x, w = _data(44, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(45, (Co,))
+        assert fc.downsample_supported(x.shape, Co, x.dtype.itemsize)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.downsample2x_conv3x3(x, w, cb, pad_lo=pad_lo,
+                                            emit_stats=True, interpret=True)
+        ref = _conv(x, w, stride=2, padding=[(pad_lo, 1), (pad_lo, 1)]) + cb
+        assert y.shape == ref.shape, (y.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
+                                   rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("hw", [(53, 27), (35, 105), (7, 14)])
+    def test_upsample_with_skip(self, hw):
+        H, W = hw
+        B, C, Co, Csk = 1, 128, 128, 128
+        x, w, skx = _data(46, (B, H, W, C), (3, 3, C, Co),
+                          (B, 2 * H, 2 * W, Csk))
+        w = w * 0.05
+        (cb,) = _data(47, (Co,))
+        skw = _data(48, (Csk, Co))[0] * 0.02
+        assert fc.upsample_supported(x.shape, Co, x.dtype.itemsize,
+                                     skip_c=Csk)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.upsample2x_conv3x3(x, w, cb, skip_x=skx, skip_w=skw,
+                                          emit_stats=True, interpret=True)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = _conv(up, w) + cb + jnp.dot(skx, skw)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
+                                   rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+
 class TestDownsampleKernel:
     @pytest.mark.parametrize("pad_lo", [0, 1])
     def test_matches_strided_conv(self, pad_lo):
