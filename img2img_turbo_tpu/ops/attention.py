@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from img2img_turbo_tpu.ops.vma import sds as _sds
+
 
 def scaled_dot_product_attention(q, k, v):
     """XLA reference attention. q: (B, H, Sq, d), k/v: (B, H, Skv, d)."""
@@ -118,7 +120,7 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_shape=_sds((bh, sq_p, d), q.dtype, qr, kr, vr),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq_p * (skv + kv_pad) * d,
             bytes_accessed=(qr.size + kr.size + vr.size) * q.dtype.itemsize,
@@ -239,13 +241,13 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
 
     out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, ki: (i, j, 0),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((b, sq_p, d), q.dtype)]
+    out_shapes = [_sds((b, sq_p, d), q.dtype, q, k, v)]
     if return_lse:
         out_specs.append(pl.BlockSpec((1, block_q, num_heads),
                                       lambda i, j, ki: (i, j, 0),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, sq_p, num_heads), jnp.float32))
+            _sds((b, sq_p, num_heads), jnp.float32, q, k, v))
 
     outs = pl.pallas_call(
         kernel,
@@ -420,7 +422,7 @@ def flash_attention_folded_bwd(q, k, v, do, o, lse, num_heads: int,
         grid=(b, nq, nk),
         in_specs=[qspec, kspec_inner, kspec_inner, qspec, hspec, hspec],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b, sq_p, d), q.dtype),
+        out_shape=_sds((b, sq_p, d), q.dtype, q, k, v, do, lse, delta),
         scratch_shapes=[pltpu.VMEM((1, block_q, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * sq_p * (skv + kv_pad) * d,
@@ -443,8 +445,10 @@ def flash_attention_folded_bwd(q, k, v, do, o, lse, num_heads: int,
         in_specs=[qspec_inner, kspec_out, kspec_out, qspec_inner,
                   hspec_inner, hspec_inner],
         out_specs=[kspec_out, kspec_out],
-        out_shape=[jax.ShapeDtypeStruct((b, skv + kv_pad, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, skv + kv_pad, d), v.dtype)],
+        out_shape=[_sds((b, skv + kv_pad, d), k.dtype, q, k, v, do, lse,
+                        delta),
+                   _sds((b, skv + kv_pad, d), v.dtype, q, k, v, do, lse,
+                        delta)],
         scratch_shapes=[pltpu.VMEM((1, block_k, d), jnp.float32),
                         pltpu.VMEM((1, block_k, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(

@@ -26,6 +26,7 @@ architecture.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,10 +34,66 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from img2img_turbo_tpu.ops.vma import sds as _sds
 
-_XBUF_BUDGET = 6 * 1024 * 1024   # 3 column-shift copies of the halo'd tile
-_W_BUDGET = 5 * 1024 * 1024      # weight block (double-buffered by pallas)
-_TOTAL_BUDGET = 13 * 1024 * 1024  # joint VMEM cap incl. ~2M headroom (16M)
+
+def _env_mb(name: str, default_mb: float) -> int:
+    return int(float(os.environ.get(name, default_mb)) * 2 ** 20)
+
+
+# VMEM budgets — TWO REGIMES, swept per-shape on the real v5e chip
+# (scripts/sweep_fused_budgets.py; numbers in CLAUDE.md):
+#
+# Regime L (large-spatial, e.g. the VAE's 128^2..512^2 levels): the
+# round-2 tuned small-tile budgets under the default 16MB scoped limit.
+# Small tiles keep the DMA-prefetch double buffer affordable, which wins
+# on these bandwidth-heavy shapes (512^2x128: 109 TF/s vs 69 at big
+# tiles).
+#
+# Regime S (small-spatial: whole image + halo fits _S_XBUF): one spatial
+# tile per image with weight blocks streamed over a raised Mosaic
+# vmem_limit — removes the per-tile fixed costs that dominated small
+# UNet shapes (64^2x512: 62 -> 130 TF/s; 16^2x1280: 22 -> 89 TF/s).
+# Weight blocks stay <= _S_WBLOCK so they stream/overlap instead of one
+# serial full-weight DMA (16^2x1280: tco=256 at 85us beat tco=1280 at
+# 93us). Batched (bsz > 1) calls only take S when L's tiles are already
+# whole-image — otherwise L's cross-tile prefetch pipeline wins (b8
+# 64^2x512: 1026us L vs 1102us S).
+_XBUF_BUDGET = _env_mb("FC_XBUF_MB", 6)    # L: 3 column-shift halo'd copies
+_W_BUDGET = _env_mb("FC_W_MB", 5)          # L: weight block (double-buffered)
+_TOTAL_BUDGET = _env_mb("FC_TOTAL_MB", 13)  # L: joint cap incl. headroom
+_S_XBUF = _env_mb("FC_S_XBUF_MB", 32)      # S: whole-image 3-copy buffer cap
+_S_WBLOCK = _env_mb("FC_S_WBLOCK_MB", 8)   # S: streamable weight block cap
+_S_TOTAL = _env_mb("FC_S_TOTAL_MB", 110)   # S: joint cap (128MB physical)
+_VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # S: Mosaic vmem_limit_bytes
+
+
+def _compiler_params(big: bool):
+    """Regime S raises the Mosaic VMEM limit; regime L keeps the default
+    (the round-2 configuration, measured best for large-spatial tiles)."""
+    if not big:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT)}
+
+
+def _pick_tco(c: int, co: int, itemsize: int, taps: int, budget: int):
+    """Largest output-channel tile whose weight block fits `budget`.
+
+    co is 128-padded by every wrapper, so candidates are 128-multiple
+    divisors of co."""
+    if co % 128:
+        if co % 8 == 0 and taps * c * co * itemsize <= budget:
+            return co
+        return None
+    n128 = co // 128
+    for k in range(n128, 0, -1):
+        if n128 % k:
+            continue
+        tco = 128 * k
+        if taps * c * tco * itemsize <= budget:
+            return tco
+    return None
 
 
 def _divisors_desc(n: int):
@@ -44,35 +101,75 @@ def _divisors_desc(n: int):
 
 
 def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
-                skip_c: int = 0):
-    """(Th, TCo) fitting the VMEM budgets; divisors of H / Co.
+                skip_c: int = 0, bsz: int = 1):
+    """-> (Th, TCo, nbuf, big, fold_m) fitting the VMEM budgets; Th divides
+    H (or equals fold_m*(H+2) in regime F), TCo divides Co. `big` selects
+    the raised Mosaic VMEM limit (regimes S/F; see the budget comment
+    above).
 
-    Co-tile preference (from the v5e sweep): 128 when co is 128-divisible —
-    larger tiles gave no speedup and bigger weight blocks; otherwise the
-    FULL co as a single tile (no lane slicing happens), budget permitting.
-    """
-    if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
-        tco = 128
-    elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
-        tco = co
-    else:
-        return None, None, 1
-    wbytes = 9 * c * tco * itemsize
-    for th in _divisors_desc(h):
-        xbuf = 3 * (th + 2) * w * c * itemsize
+    Regime F (fold_m > 0, bsz > 1): fold_m whole images ride in ONE tile —
+    the batch dim is folded into rows as [gap, H rows, gap] blocks of
+    P = H+2 rows per image (gap rows zero; they substitute the SAME-conv
+    halo at every image boundary). The grid becomes
+    (1, bsz/fold_m, n_co), so a weight block is re-streamed bsz/fold_m
+    times instead of bsz times — at the deep UNet levels (weights >> x)
+    this was THE batched-serving bottleneck (BENCH_r02 b8 ran at b1
+    latency x8; VERDICT r2 item 1). The 2/P gap-row compute overhead is
+    the price (12% at 16^2, 3% at 64^2)."""
+
+    def rest_bytes(th, tco, wbytes):
         # chunked fp32 prologue temporaries (3 live chunk-size arrays)
         prologue = min(3 * (th + 2) * w * c * 4, 3 * _CHUNK_BYTES)
         acc = th * w * tco * 4
         io = 3 * th * w * tco * itemsize  # out + residual double buffers
-        io += 2 * th * w * skip_c * itemsize  # skip_x block, double-buffered
-        rest = prologue + 2 * wbytes + acc + io
-        if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
-            # double-buffer the halo'd tile (DMA prefetch) only when the
-            # second buffer is free at this tile size
-            nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
-                         and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
-            return th, tco, nbuf
-    return None, None, 1
+        io += 2 * th * w * skip_c * itemsize  # skip_x, double-buffered
+        return prologue + 2 * wbytes + acc + io
+
+    def pick_l():
+        # round-2 tuned verbatim: tco=128 when co is 128-divisible (larger
+        # tiles gave no speedup at these budgets), else full co
+        if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
+            tco = 128
+        elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+            tco = co
+        else:
+            return None, None, 1, False, 0
+        wbytes = 9 * c * tco * itemsize
+        for th in _divisors_desc(h):
+            xbuf = 3 * (th + 2) * w * c * itemsize
+            rest = rest_bytes(th, tco, wbytes)
+            if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+                nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
+                             and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
+                return th, tco, nbuf, False, 0
+        return None, None, 1, False, 0
+
+    # regime F: multi-image folded tiles (only a win for m >= 2)
+    if bsz > 1:
+        P = h + 2
+        tco = _pick_tco(c, co, itemsize, 9, _S_WBLOCK)
+        if tco is not None:
+            for m in _divisors_desc(bsz):
+                if m < 2:
+                    break
+                th = m * P
+                xbuf = 3 * (th + 2) * w * c * itemsize
+                if xbuf > _S_XBUF:
+                    continue
+                if xbuf + rest_bytes(th, tco, 9 * c * tco * itemsize) \
+                        <= _S_TOTAL:
+                    return th, tco, 1, True, m
+
+    # regime S: one whole-image tile, streamed weight blocks, raised limit
+    xbuf_s = 3 * (h + 2) * w * c * itemsize
+    if xbuf_s <= _S_XBUF:
+        tco = _pick_tco(c, co, itemsize, 9, _S_WBLOCK)
+        if tco is not None and \
+                xbuf_s + rest_bytes(h, tco, 9 * c * tco * itemsize) \
+                <= _S_TOTAL:
+            if bsz == 1 or pick_l()[0] == h:
+                return h, tco, 1, True, 0
+    return pick_l()
 
 
 def _pad_to_128(n: int) -> int:
@@ -157,9 +254,9 @@ def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
     (exact SAME-conv semantics, see _pad_spatial) so the gate only needs
     the PADDED dims to tile."""
     b, h, w, c = x_shape
-    th, tco, _ = _pick_tiles(_ceil_to(h, 8), _ceil_to(w, 8), _pad_to_128(c),
-                             _pad_to_128(co), itemsize,
-                             skip_c=_pad_to_128(skip_c))
+    th = _pick_tiles(_ceil_to(h, 8), _ceil_to(w, 8), _pad_to_128(c),
+                     _pad_to_128(co), itemsize,
+                     skip_c=_pad_to_128(skip_c), bsz=b)[0]
     return th is not None and h >= 2
 
 
@@ -176,6 +273,11 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
     scoped-vmem stack and force tiny tiles. The flat-roll cross-row wraps
     (including at chunk boundaries) land on col==0 / col==tw-1 positions,
     which are masked to the SAME-padding zero anyway.
+
+    (A DMA-engine variant — left/right copies as VMEM->VMEM shifted
+    copies overlapped with the center matmuls — is ILLEGAL on this
+    hardware: Mosaic rejects sublane-offset memref slices, the W dim is
+    sublane-tiled (8,128). The rotates must stay on the VPU.)
 
     mask_h/mask_w (true H/W when the wrapper spatially padded): zero-pad
     rows/cols must stay ZERO post-normalize (silu(0*a + b) != 0 would bleed
@@ -217,10 +319,60 @@ def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
         xbuf[2, pl.ds(k0, kn)] = right.astype(dt).reshape(kn, tw, cin)
 
 
+def _prologue_fold(xbuf, a_ref, b_ref, *, m, P, h_real, tw, cin, normalize,
+                   act, mask_w=None):
+    """Regime-F prologue: the tile is m folded images of P = h+2 rows each
+    ([gap, rows, gap]); xbuf covers tile rows -1..th (th = m*P). All gap /
+    halo rows are memset to zero (they ARE the SAME-padding), and each
+    image's real rows are normalized with ITS (a, b) row — a_ref/b_ref are
+    the tile's (m, C) blocks. Segment offsets are static (m is a Python
+    int), so no dynamic row->image gather is needed."""
+    dt = xbuf.dtype
+    th = m * P
+    # zero runs: xbuf row tr maps to global tile row tr-1; image u's real
+    # rows are tr in [u*P+2, u*P+2+h_real). Zero everything else.
+    zero_runs = [(0, 2)]
+    for u in range(m):
+        start = u * P + 2 + h_real
+        end = min((u + 1) * P + 2, th + 2)
+        if end > start:
+            zero_runs.append((start, end - start))
+    for copy in range(3):
+        for start, ln in zero_runs:
+            xbuf[copy, pl.ds(start, ln)] = jnp.zeros((ln, tw, cin), dt)
+    chunk = max(1, min(h_real, _CHUNK_BYTES // (4 * tw * cin)))
+    for u in range(m):
+        base = u * P + 2
+        for k0 in range(0, h_real, chunk):
+            kn = min(chunk, h_real - k0)
+            rc = kn * tw
+            xn = xbuf[1, pl.ds(base + k0, kn)].reshape(rc, cin
+                                                       ).astype(jnp.float32)
+            if normalize:
+                xn = xn * a_ref[u] + b_ref[u]
+                if act == "silu":
+                    xn = xn * jax.nn.sigmoid(xn)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+            col = jax.lax.rem(rows, tw)
+            if mask_w is not None:
+                xn = jnp.where(col < mask_w, xn, 0.0)
+            xbuf[1, pl.ds(base + k0, kn)] = xn.astype(dt).reshape(
+                kn, tw, cin)
+            # column-shift copies (see _prologue): the flat-roll cross-row
+            # wraps land on col==0 / col==tw-1, masked to the SAME zero.
+            # Chunk-boundary wraps only corrupt those masked positions.
+            left = jnp.where(col == 0, 0.0, pltpu.roll(xn, 1, 0))
+            xbuf[0, pl.ds(base + k0, kn)] = left.astype(dt).reshape(
+                kn, tw, cin)
+            right = jnp.where(col == tw - 1, 0.0, pltpu.roll(xn, rc - 1, 0))
+            xbuf[2, pl.ds(base + k0, kn)] = right.astype(dt).reshape(
+                kn, tw, cin)
+
+
 def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             x_hbm, out_ref, stats_ref, xbuf, sem, *, th, tw, cin, tco,
             normalize, act, emit_stats, out_dtype, nbuf, mask_h=None,
-            mask_w=None):
+            mask_w=None, fold=None):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
@@ -259,6 +411,16 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
     def _load():
         # nh is static: a single-tile grid folds program_id to a literal,
         # so halo/prefetch descriptors must not be constructed at all then
+        if fold is not None:
+            # regime F: tiles are independent folded-image groups — the
+            # per-image gap rows ARE the conv halo, so no top/bot DMAs
+            m, P, h_real = fold
+            main_dma(i, 0).start()
+            main_dma(i, 0).wait()
+            _prologue_fold(xbuf.at[0], a_ref, b_ref, m=m, P=P,
+                           h_real=h_real, tw=tw, cin=cin,
+                           normalize=normalize, act=act, mask_w=mask_w)
+            return
         if nh == 1:
             @pl.when(i == 0)
             def _only():
@@ -340,7 +502,13 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         if eb_ref is not None:
             # eb is carried fp32: a dynamic sublane index into packed bf16
             # (2 rows/register) is unprovable for Mosaic; fp32 is exact
-            acc = acc + eb_ref[pl.program_id(0)]
+            if fold is not None:
+                # (m, tco) block: each folded image adds ITS row
+                m, P, _ = fold
+                acc = (acc.reshape(m, P * tw, tco)
+                       + eb_ref[...][:, None, :]).reshape(th * tw, tco)
+            else:
+                acc = acc + eb_ref[pl.program_id(0)]
         if sk_ref is not None:
             # epilogue 1x1-conv skip fusion (VAE skip-decoder zero-convs):
             # y += skip_x @ skip_w, so the XLA add+conv passes (and their
@@ -353,7 +521,20 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         if res_ref is not None:
             y = y + res_ref[0].astype(jnp.float32)
         yo = y.astype(out_dtype)
-        if mask_h is not None or mask_w is not None:
+        if fold is not None:
+            # gap/pad output rows are garbage (their taps straddle two
+            # images): zero them so the stats are exact; the wrapper's
+            # unfold slice drops them from the output anyway. Tile rows
+            # are image-periodic: row r real iff 1 <= r mod P <= h_real.
+            fm, P, h_real = fold
+            ri = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
+            rm = jax.lax.rem(ri, P)
+            msk = jnp.logical_and(rm >= 1, rm <= h_real)
+            if mask_w is not None:
+                ci = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
+                msk = jnp.logical_and(msk, ci < mask_w)
+            yo = jnp.where(msk, yo, 0)
+        elif mask_h is not None or mask_w is not None:
             # spatial padding in play: zero the pad region so the emitted
             # stats stay exact (the output slice drops it anyway)
             m = jnp.full((th, tw, 1), True)
@@ -367,8 +548,15 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         out_ref[0] = yo
         if emit_stats:
             yf = yo.astype(jnp.float32)
-            stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
-                                         jnp.sum(yf * yf, axis=(0, 1))])
+            if fold is not None:
+                fm, P, _ = fold
+                yseg = yf.reshape(fm, P * tw, tco)
+                stats_ref[:, 0] = jnp.stack(
+                    [jnp.sum(yseg, axis=1), jnp.sum(yseg * yseg, axis=1)],
+                    axis=1)
+            else:
+                stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                             jnp.sum(yf * yf, axis=(0, 1))])
 
     if nbuf == 1:
         compute(0)
@@ -414,7 +602,7 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     hp, wp = _ceil_to(h, 8), _ceil_to(wd, 8)
     csk_pad = 0 if skip_x is None else _pad_to_128(skip_x.shape[-1])
     if h < 2 or _pick_tiles(hp, wp, c_pad, co, x.dtype.itemsize,
-                            skip_c=csk_pad)[0] is None:
+                            skip_c=csk_pad, bsz=bsz)[0] is None:
         # graceful degrade (fp32 runs, exotic shapes): the gate is tuned
         # for bf16 — never raise inside jit, run the XLA composition
         return _xla_fallback(x, w, bias, a, b, extra_bias, residual,
@@ -445,9 +633,10 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
             residual = _pad_spatial(residual, hp, wp)
         if skip_x is not None:
             skip_x = _pad_spatial(skip_x, hp, wp)
-    th, tco, nbuf = _pick_tiles(hp, wp, c, co, x.dtype.itemsize, skip_c=csk)
+    th, tco, nbuf, big, fold_m = _pick_tiles(hp, wp, c, co,
+                                             x.dtype.itemsize,
+                                             skip_c=csk, bsz=bsz)
     assert th is not None, f"unsupported shape {x.shape} -> {co}"
-    nh, nco = hp // th, co // tco
     normalize = a is not None
     if normalize:
         a2 = a.astype(jnp.float32)
@@ -457,11 +646,52 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         b2 = jnp.zeros((bsz, c), jnp.float32)
     bias2 = bias.reshape(1, co)
 
+    fold = None
+    if fold_m:
+        # regime F: fold the batch into rows as m-image tiles of P-row
+        # [gap, image, gap] blocks (see _pick_tiles). The leading-dim
+        # pad+reshape is layout-free in NHWC.
+        P = hp + 2
+        fold = (fold_m, P, h)
+
+        def fold_rows(t):
+            t = jnp.pad(t, [(0, 0), (1, 1), (0, 0), (0, 0)])
+            return t.reshape(1, bsz * P, wp, t.shape[-1])
+
+        x = fold_rows(x)
+        if residual is not None:
+            residual = fold_rows(residual)
+        if skip_x is not None:
+            skip_x = fold_rows(skip_x)
+        grid = (1, bsz // fold_m, co // tco)
+        gb, gnh = 1, bsz // fold_m
+        ab_spec = pl.BlockSpec((fold_m, c), lambda bb, i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+        eb_spec = pl.BlockSpec((fold_m, tco), lambda bb, i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+        out_rows = bsz * P
+        stats_shape = (bsz, 1, 2, co)
+        stats_spec = pl.BlockSpec((fold_m, 1, 2, tco),
+                                  lambda bb, i, j: (i, 0, 0, j),
+                                  memory_space=pltpu.VMEM)
+        mask_h_eff = None  # subsumed by the kernel's periodic row mask
+    else:
+        grid = (bsz, hp // th, co // tco)
+        gb, gnh = bsz, hp // th
+        ab_spec = pl.BlockSpec((bsz, c), lambda bb, i, j: (0, 0),
+                               memory_space=pltpu.VMEM)
+        eb_spec = pl.BlockSpec((bsz, tco), lambda bb, i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+        out_rows = hp
+        stats_shape = (bsz, gnh, 2, co)
+        stats_spec = pl.BlockSpec((1, 1, 2, tco),
+                                  lambda bb, i, j: (bb, i, 0, j),
+                                  memory_space=pltpu.VMEM)
+        mask_h_eff = h if hp != h else None
+
     in_specs = [
-        pl.BlockSpec((bsz, c), lambda bb, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bsz, c), lambda bb, i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
+        ab_spec,
+        ab_spec,
         pl.BlockSpec((3, 3, c, tco), lambda bb, i, j: (0, 0, 0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tco), lambda bb, i, j: (0, j),
@@ -469,8 +699,7 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     ]
     args = [a2, b2, w, bias2]
     if extra_bias is not None:
-        in_specs.append(pl.BlockSpec((bsz, tco), lambda bb, i, j: (0, j),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(eb_spec)
         args.append(extra_bias.astype(jnp.float32))
     if residual is not None:
         in_specs.append(pl.BlockSpec((1, th, wp, tco),
@@ -485,19 +714,16 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
         in_specs.append(pl.BlockSpec((csk, tco), lambda bb, i, j: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(skip_w.astype(x.dtype))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(x)
 
-    out_shapes = [jax.ShapeDtypeStruct((bsz, hp, wp, co), x.dtype)]
+    out_shapes = [_sds((gb, out_rows, wp, co), x.dtype, *args)]
     out_specs = [pl.BlockSpec((1, th, wp, tco),
                               lambda bb, i, j: (bb, i, 0, j),
                               memory_space=pltpu.VMEM)]
     if emit_stats:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, 2, tco),
-                                      lambda bb, i, j: (bb, i, 0, j),
-                                      memory_space=pltpu.VMEM))
+        out_shapes.append(_sds(stats_shape, jnp.float32, *args))
+        out_specs.append(stats_spec)
 
     def kernel(*refs):
         pos = 4
@@ -516,12 +742,12 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
                 x_hbm, out_ref, stats_ref, xbuf, sem, th=th, tw=wp, cin=c,
                 tco=tco, normalize=normalize, act=act,
                 emit_stats=emit_stats, out_dtype=x.dtype, nbuf=nbuf,
-                mask_h=h if hp != h else None,
-                mask_w=wd if wp != wd else None)
+                mask_h=mask_h_eff,
+                mask_w=wd if wp != wd else None, fold=fold)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(bsz, nh, nco),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shapes if emit_stats else out_shapes[0],
@@ -535,9 +761,12 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
             bytes_accessed=(bsz * hp * wp * (c + co) * x.dtype.itemsize
                             + 9 * c * co * w.dtype.itemsize)),
         interpret=interpret,
+        **_compiler_params(big),
     )(*args)
     y, stats = outs if emit_stats else (outs, None)
-    if (hp, wp) != (h, wd):
+    if fold is not None:
+        y = y.reshape(bsz, fold[1], wp, co)[:, 1:h + 1, :wd]
+    elif (hp, wp) != (h, wd):
         y = y[:, :h, :wd]
     if co != co_real:
         y = y[..., :co_real]
@@ -551,27 +780,45 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
 # ---------------------------------------------------------------------------
 
 
-def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int):
-    """Tiles over OUTPUT rows; w is the INPUT width."""
-    if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
-        tco = 128
-    elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
-        tco = co
-    else:
-        return None, None, 1
-    wbytes = 9 * c * tco * itemsize
-    for th in _divisors_desc(hout):
+def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int,
+                     bsz: int = 1):
+    """-> (Th, TCo, nbuf, big); tiles over OUTPUT rows; w is the INPUT
+    width. Same two-regime policy as _pick_tiles."""
+
+    def bufs(th, tco, wbytes):
         raw = (2 * th + 2) * w * c * itemsize
         phases = 3 * (th + 1) * w * c * itemsize
         prologue = min(3 * (th + 1) * w * c * 4, 3 * _CHUNK_BYTES)
         acc = th * (w // 2) * tco * 4
         io = 3 * th * (w // 2) * tco * itemsize
-        rest = phases + prologue + 2 * wbytes + acc + io
-        if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
-                raw + rest <= _TOTAL_BUDGET:
-            nbuf = 2 if 2 * raw + rest <= _TOTAL_BUDGET else 1
-            return th, tco, nbuf
-    return None, None, 1
+        return raw, phases + prologue + 2 * wbytes + acc + io
+
+    def pick_l():
+        if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
+            tco = 128
+        elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+            tco = co
+        else:
+            return None, None, 1, False
+        wbytes = 9 * c * tco * itemsize
+        for th in _divisors_desc(hout):
+            raw, rest = bufs(th, tco, wbytes)
+            phases = 3 * (th + 1) * w * c * itemsize
+            if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
+                    raw + rest <= _TOTAL_BUDGET:
+                nbuf = 2 if 2 * raw + rest <= _TOTAL_BUDGET else 1
+                return th, tco, nbuf, False
+        return None, None, 1, False
+
+    raw_s = (2 * hout + 2) * w * c * itemsize
+    phases_s = 3 * (hout + 1) * w * c * itemsize
+    if raw_s + phases_s <= _S_XBUF:
+        tco = _pick_tco(c, co, itemsize, 9, _S_WBLOCK)
+        if tco is not None and \
+                sum(bufs(hout, tco, 9 * c * tco * itemsize)) <= _S_TOTAL:
+            if bsz == 1 or pick_l()[0] == hout:
+                return hout, tco, 1, True
+    return pick_l()
 
 
 def downsample_supported(x_shape, co: int, itemsize: int = 2) -> bool:
@@ -583,8 +830,9 @@ def downsample_supported(x_shape, co: int, itemsize: int = 2) -> bool:
         return False
     if h < 2 or w < 2:
         return False
-    th, tco, _ = _pick_tiles_down(_ceil_to(h, 16) // 2, _ceil_to(w, 16),
-                                  _pad_to_128(c), _pad_to_128(co), itemsize)
+    th = _pick_tiles_down(_ceil_to(h, 16) // 2, _ceil_to(w, 16),
+                          _pad_to_128(c), _pad_to_128(co), itemsize,
+                          bsz=b)[0]
     return th is not None
 
 
@@ -765,7 +1013,7 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
     wout_real = (tw + pad_lo - 2) // 2 + 1
     hp, wp = _ceil_to(hin, 16), _ceil_to(tw, 16)
     if hin < 2 or tw < 2 or _pick_tiles_down(
-            hp // 2, wp, c_pad, co, x.dtype.itemsize)[0] is None:
+            hp // 2, wp, c_pad, co, x.dtype.itemsize, bsz=bsz)[0] is None:
         return _xla_fallback(x, w, bias, None, None, None, None, None,
                              None, None, emit_stats, stride=2,
                              pad_lo=pad_lo)
@@ -776,7 +1024,8 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
         c = c_pad
     x = _pad_spatial(x, hp, wp)
     hout, w2 = hp // 2, wp // 2
-    th, tco, nbuf = _pick_tiles_down(hout, wp, c, co, x.dtype.itemsize)
+    th, tco, nbuf, big = _pick_tiles_down(hout, wp, c, co,
+                                          x.dtype.itemsize, bsz=bsz)
     nh, nco = hout // th, co // tco
     bias2 = bias.reshape(1, co)
 
@@ -794,17 +1043,17 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tco), lambda bb, i, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = [pl.BlockSpec((1, th, w2, tco), lambda bb, i, j: (bb, i, 0, j),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((bsz, hout, w2, co), x.dtype)]
+    out_shapes = [_sds((bsz, hout, w2, co), x.dtype, w, bias2, x)]
     if emit_stats:
         out_specs.append(pl.BlockSpec((1, 1, 2, tco),
                                       lambda bb, i, j: (bb, i, 0, j),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
+            _sds((bsz, nh, 2, co), jnp.float32, w, bias2, x))
 
     outs = pl.pallas_call(
         kernel,
@@ -824,6 +1073,7 @@ def downsample2x_conv3x3(x, w, bias, pad_lo: int = 0,
                             + bsz * hout * w2 * co * x.dtype.itemsize
                             + 9 * c * co * w.dtype.itemsize)),
         interpret=interpret,
+        **_compiler_params(big),
     )(w.astype(x.dtype), bias2, x)
     y, stats = outs if emit_stats else (outs, None)
     if (hout_real, wout_real) != (hout, w2):
@@ -861,28 +1111,44 @@ def _fold_upsample_weights(w):
 
 
 def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
-                   skip_c: int = 0):
-    if co % 128 == 0 and 16 * c * 128 * itemsize <= _W_BUDGET:
-        tco = 128
-    elif 16 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
-        tco = co
-    else:
-        return None, None, 1
-    wbytes = 16 * c * tco * itemsize
-    for th in _divisors_desc(h):
-        xbuf = 3 * (th + 2) * w * c * itemsize
+                   skip_c: int = 0, bsz: int = 1):
+    """-> (Th, TCo, nbuf, big); same two-regime policy as _pick_tiles."""
+
+    def rest_bytes(th, tco, wbytes):
         prologue = min(3 * (th + 2) * w * c * 4, 3 * _CHUNK_BYTES)
         acc = 4 * th * w * tco * 4
         # out block (2th, 2w, tco) double-buffered + the in-register
         # interleave temporaries (~2 fp32 copies of the tile)
         io = 8 * th * w * tco * itemsize + 8 * th * w * tco * 4
         io += 8 * th * w * skip_c * itemsize  # skip block, double-buffered
-        rest = prologue + 2 * wbytes + acc + io
-        if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
-            nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
-                         and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
-            return th, tco, nbuf
-    return None, None, 1
+        return prologue + 2 * wbytes + acc + io
+
+    def pick_l():
+        if co % 128 == 0 and 16 * c * 128 * itemsize <= _W_BUDGET:
+            tco = 128
+        elif 16 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
+            tco = co
+        else:
+            return None, None, 1, False
+        wbytes = 16 * c * tco * itemsize
+        for th in _divisors_desc(h):
+            xbuf = 3 * (th + 2) * w * c * itemsize
+            rest = rest_bytes(th, tco, wbytes)
+            if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+                nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
+                             and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
+                return th, tco, nbuf, False
+        return None, None, 1, False
+
+    xbuf_s = 3 * (h + 2) * w * c * itemsize
+    if xbuf_s <= _S_XBUF:
+        tco = _pick_tco(c, co, itemsize, 16, _S_WBLOCK)
+        if tco is not None and \
+                xbuf_s + rest_bytes(h, tco, 16 * c * tco * itemsize) \
+                <= _S_TOTAL:
+            if bsz == 1 or pick_l()[0] == h:
+                return h, tco, 1, True
+    return pick_l()
 
 
 def upsample_supported(x_shape, co: int, itemsize: int = 2,
@@ -893,8 +1159,8 @@ def upsample_supported(x_shape, co: int, itemsize: int = 2,
     b, h, w, c = x_shape
     if c % 128 or co % 128:
         return False
-    th, tco, _ = _pick_tiles_up(_ceil_to(h, 8), _ceil_to(w, 8), c, co,
-                                itemsize, skip_c=_pad_to_128(skip_c))
+    th = _pick_tiles_up(_ceil_to(h, 8), _ceil_to(w, 8), c, co,
+                        itemsize, skip_c=_pad_to_128(skip_c), bsz=b)[0]
     return th is not None and h >= 2
 
 
@@ -1069,8 +1335,8 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
     co = w.shape[-1]
     csk = 0 if skip_x is None else skip_x.shape[-1]
     hp, wp = _ceil_to(h, 8), _ceil_to(wd, 8)
-    th, tco, nbuf = _pick_tiles_up(hp, wp, c, co, x.dtype.itemsize,
-                                   skip_c=csk)
+    th, tco, nbuf, big = _pick_tiles_up(hp, wp, c, co, x.dtype.itemsize,
+                                        skip_c=csk, bsz=bsz)
     if th is None or h < 2:
         up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return _xla_fallback(up, w, bias, None, None, None, None,
@@ -1097,18 +1363,18 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
         in_specs.append(pl.BlockSpec((csk, tco), lambda bb, i, j: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(skip_w.astype(x.dtype))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(x)
     out_specs = [pl.BlockSpec((1, 2 * th, 2 * wp, tco),
                               lambda bb, i, j: (bb, i, 0, j),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((bsz, 2 * hp, 2 * wp, co), x.dtype)]
+    out_shapes = [_sds((bsz, 2 * hp, 2 * wp, co), x.dtype, *args)]
     if emit_stats:
         out_specs.append(pl.BlockSpec((1, 1, 2, tco),
                                       lambda bb, i, j: (bb, i, 0, j),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(
-            jax.ShapeDtypeStruct((bsz, nh, 2, co), jnp.float32))
+            _sds((bsz, nh, 2, co), jnp.float32, *args))
 
     def kernel(*refs):
         pos = 2
@@ -1141,6 +1407,7 @@ def upsample2x_conv3x3(x, w, bias, skip_x=None, skip_w=None,
             bytes_accessed=(bsz * hp * wp * (c + 4 * co) * x.dtype.itemsize
                             + 16 * c * co * w.dtype.itemsize)),
         interpret=interpret,
+        **_compiler_params(big),
     )(*args)
     y, stats = outs if emit_stats else (outs, None)
     if (hp, wp) != (h, wd):

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from img2img_turbo_tpu.ops.vma import sds as _sds
+
 
 _TILE_BYTES_BUDGET = 2 * 1024 * 1024  # per-block VMEM footprint target
 
@@ -83,7 +85,7 @@ def group_norm_coeffs(x, scale, bias, num_groups: int, eps: float,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, 2, c), jnp.float32),
+        out_shape=_sds((b, n_tiles, 2, c), jnp.float32, xr),
         cost_estimate=pl.CostEstimate(
             flops=3 * b * sp * c, transcendentals=0,
             bytes_accessed=b * sp * c * xr.dtype.itemsize + b * n_tiles * 2 * c * 4),

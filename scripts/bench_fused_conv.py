@@ -34,6 +34,10 @@ SHAPES = [
     (1, 8, 8, 1280, 1280, True, True),      # UNet mid
     (8, 64, 64, 512, 512, False, True),     # batch-8 serving
     (4, 66, 88, 320, 320, True, True),      # odd-spatial (bird 528x704)
+    (8, 16, 16, 1280, 1280, True, True),    # b8 UNet level 2
+    (8, 32, 32, 640, 640, True, True),      # b8 UNet level 1
+    (8, 8, 8, 1280, 1280, True, True),      # b8 UNet mid
+    (8, 64, 64, 320, 320, True, True),      # b8 UNet level 0
 ]
 
 NG, EPS = 32, 1e-6
@@ -88,12 +92,19 @@ def run(idx):
 
     gflop = 2 * b * h * wd * 9 * c * co / 1e9
     args = (x, scale, bias, w, cb, eb, res)
-    t_f = device_time_per_call(fused, args, iters=20)["device_span_per_call_s"]
-    t_x = device_time_per_call(jax.jit(xla_ref), args,
-                               iters=20)["device_span_per_call_s"]
+    # busy = summed device-op durations / iters: for the fused path (one
+    # pallas op + tiny gn prologue) this is the true kernel time and is
+    # immune to the per-dispatch tunnel latency that pollutes span-based
+    # timing on small kernels; span is reported for reference
+    sf = device_time_per_call(fused, args, iters=20)
+    sx = device_time_per_call(jax.jit(xla_ref), args, iters=20)
+    t_f = sf["device_busy_total_s"] / sf["iters"]
+    t_x = sx["device_busy_total_s"] / sx["iters"]
     print(f"   fused {t_f*1e6:8.1f} us  {gflop/t_f/1e3:6.1f} TF/s   "
           f"xla {t_x*1e6:8.1f} us  {gflop/t_x/1e3:6.1f} TF/s   "
-          f"speedup {t_x/t_f:.2f}x")
+          f"speedup {t_x/t_f:.2f}x   "
+          f"(span {sf['device_span_per_call_s']*1e6:.1f}/"
+          f"{sx['device_span_per_call_s']*1e6:.1f})")
 
 
 if __name__ == "__main__":

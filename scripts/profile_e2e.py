@@ -57,9 +57,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--height", type=int, default=0,
+                    help="non-square input H (0 -> --size)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="non-square input W (0 -> --size), e.g. 560x840 "
+                         "for the bird.png x8-crop serving shape")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
+    args.height = args.height or args.size
+    args.width = args.width or args.size
 
     from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
     from img2img_turbo_tpu.serving.engine import ServingEngine
@@ -82,7 +89,7 @@ def main():
     ctx = jnp.zeros((args.batch, 77, cfgs.unet.cross_attention_dim), dtype)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(
-        0, 255, (args.batch, args.size, args.size, 3)).astype(np.uint8))
+        0, 255, (args.batch, args.height, args.width, 3)).astype(np.uint8))
 
     evs = collect(lambda im, c: engine(im, c), (img, ctx), args.iters)
     span = (max(e["ts"] + e["dur"] for e in evs)
@@ -100,7 +107,8 @@ def main():
         counts[name] += 1
         g = re.sub(r"[.\d]+$", "", name)
         groups[g] += e["dur"] / 1e3 / args.iters
-    print(f"batch={args.batch} size={args.size} iters={args.iters}")
+    print(f"batch={args.batch} size={args.height}x{args.width} "
+          f"iters={args.iters}")
     print(f"device span/call: {span:.3f} ms   op busy/call: {total:.3f} ms")
     print("\n-- by kernel family --")
     for name, ms in groups.most_common(30):

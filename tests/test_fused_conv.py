@@ -112,9 +112,12 @@ class TestStride1Kernel:
                                    rtol=1e-3, atol=1e-3)
 
     def test_multi_tile_halo(self):
-        """nh > 1: the manual top/bottom halo DMAs and boundary masks."""
-        B, H, W, C, Co = 1, 256, 16, 512, 256
-        th, tco, _ = fc._pick_tiles(H, W, C, Co, 4)
+        """nh > 1: the manual top/bottom halo DMAs and boundary masks.
+        bsz=2 keeps the picker in regime L (multi-tile path) — regime S
+        would take the whole image in one tile."""
+        B, H, W, C, Co = 2, 256, 16, 512, 256
+        th, tco, _, _, fold_m = fc._pick_tiles(H, W, C, Co, 4, bsz=B)
+        assert fold_m == 0  # fp32 at this W stays in regime L
         assert th is not None and H // th > 1, (th, tco)
         x, w = _data(8, (B, H, W, C), (3, 3, C, Co))
         w = w * 0.05
@@ -163,7 +166,7 @@ class TestStride1Kernel:
     def test_fp32_fallback_when_pick_fails(self):
         """bf16 gate passes but the fp32 pick fails -> XLA fallback, no
         assert inside jit (advisor round-2 medium #1)."""
-        B, H, W, C, Co = 1, 16, 16, 1280, 1280
+        B, H, W, C, Co = 1, 16, 16, 1920, 1280
         assert fc.supported((B, H, W, C), Co, 2)
         assert not fc.supported((B, H, W, C), Co, 4)
         x, w = _data(14, (B, H, W, C), (3, 3, C, Co))
@@ -250,6 +253,69 @@ class TestOddSpatialShapes:
                                    rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
 
 
+class TestFoldedBatchKernel:
+    """Regime F: the batch dim folded into rows as m-image [gap, image,
+    gap] tiles (weight blocks re-streamed B/m times instead of B — the
+    b8-serving fix, VERDICT r2 item 1). Pins the per-image a/b and
+    extra_bias application, the periodic gap-row masking, per-image stats,
+    and the m < B multi-tile fold grid."""
+
+    def _run(self, B, H, W, C, Co, seed=60):
+        x, w, res = _data(seed, (B, H, W, C), (3, 3, C, Co), (B, H, W, Co))
+        w = w * 0.05
+        (cb,) = _data(seed + 1, (Co,))
+        eb = _data(seed + 2, (B, Co))[0]
+        scale = jnp.asarray(
+            1 + 0.1 * np.random.RandomState(seed + 3).randn(C), jnp.float32)
+        bias = jnp.asarray(
+            0.1 * np.random.RandomState(seed + 4).randn(C), jnp.float32)
+        a, b = _gn_affine(x, scale, bias)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(
+                x, w, cb, a=a, b=b, extra_bias=eb, residual=res,
+                emit_stats=True, interpret=True)
+        ref = _ref_stride1(x, w, cb, a, b, eb, res)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        sums = np.asarray(st.sum(axis=1))
+        np.testing.assert_allclose(sums[:, 0], rf.sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(sums[:, 1], (rf * rf).sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_whole_batch_one_tile(self):
+        """m == B (one folded tile), odd H/W exercising the spatial pads
+        inside the fold."""
+        B, H, W, C, Co = 4, 12, 10, 128, 256
+        assert fc._pick_tiles(16, 16, C, Co, 4, bsz=B)[4] == B
+        self._run(B, H, W, C, Co)
+
+    def test_multi_tile_fold_grid(self, monkeypatch):
+        """m < B: several folded tiles (nh > 1), forced by shrinking the
+        fold xbuf budget."""
+        B, H, W, C, Co = 8, 16, 16, 128, 128
+        P = 18
+        need_m2 = 3 * (2 * P + 2) * 16 * C * 4  # m=2 fold xbuf bytes
+        monkeypatch.setattr(fc, "_S_XBUF", need_m2 + 1)
+        assert fc._pick_tiles(16, 16, C, Co, 4, bsz=B)[4] == 2
+        self._run(B, H, W, C, Co, seed=70)
+
+    def test_fold_with_skip_fusion(self):
+        B, H, W, C, Co, Csk = 4, 16, 16, 128, 128, 128
+        x, w, skx = _data(80, (B, H, W, C), (3, 3, C, Co), (B, H, W, Csk))
+        w = w * 0.05
+        (cb,) = _data(81, (Co,))
+        skw = _data(82, (Csk, Co))[0] * 0.02
+        assert fc._pick_tiles(16, 16, C, Co, 4, skip_c=Csk, bsz=B)[4] == B
+        with pltpu.force_tpu_interpret_mode():
+            y, _ = fc.fused_gn_silu_conv3x3(x, w, cb, skip_x=skx,
+                                            skip_w=skw, interpret=True)
+        ref = _ref_stride1(x, w, cb, skx=skx, skw=skw)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestDownsampleKernel:
     @pytest.mark.parametrize("pad_lo", [0, 1])
     def test_matches_strided_conv(self, pad_lo):
@@ -272,8 +338,9 @@ class TestDownsampleKernel:
     def test_multi_tile_and_prefetch(self):
         """A shape whose pick gives nh > 1 (halo DMA + per-tile phase
         rebuild); prefetch nbuf follows the picker."""
-        B, H, W, C, Co = 1, 128, 16, 512, 512
-        th, tco, nbuf = fc._pick_tiles_down(H // 2, W, C, Co, 4)
+        B, H, W, C, Co = 2, 128, 16, 512, 512
+        # bsz=2 keeps the picker in regime L (multi-tile + prefetch path)
+        th, tco, nbuf, _ = fc._pick_tiles_down(H // 2, W, C, Co, 4, bsz=B)
         assert th is not None and (H // 2) // th > 1, (th, nbuf)
         x, w = _data(23, (B, H, W, C), (3, 3, C, Co))
         w = w * 0.05
@@ -307,8 +374,10 @@ class TestUpsampleKernel:
     def test_skip_fusion_and_multi_tile(self):
         """Epilogue 1x1 skip at output resolution + nh > 1 halo path
         (the VAE skip-decoder configuration)."""
-        B, H, W, C, Co, Csk = 1, 64, 16, 256, 128, 128
-        th, tco, nbuf = fc._pick_tiles_up(H, W, C, Co, 4, skip_c=Csk)
+        B, H, W, C, Co, Csk = 2, 64, 16, 256, 128, 128
+        # bsz=2 keeps the picker in regime L (multi-tile halo path)
+        th, tco, nbuf, _ = fc._pick_tiles_up(H, W, C, Co, 4, skip_c=Csk,
+                                             bsz=B)
         assert th is not None and H // th > 1, (th, nbuf)
         x, w, skx = _data(32, (B, H, W, C), (3, 3, C, Co),
                           (B, 2 * H, 2 * W, Csk))

@@ -289,8 +289,11 @@ class TestFusedConvHelpers:
         assert fused_conv.supported((1, 64, 64, 960), 640)
         assert fused_conv.supported((1, 64, 64, 4), 512)
         assert fused_conv.supported((1, 512, 512, 128), 3)
-        # 2560-ch concat exceeds the weight budget (split by the caller)
-        assert not fused_conv.supported((1, 16, 16, 2560), 1280)
+        # 2560-ch concat: regime S streams its weight blocks at bf16
+        # (the UNet splits it anyway — models/unet._concat_resnet); the
+        # fp32 pick fails in both regimes -> gate refuses
+        assert fused_conv.supported((1, 16, 16, 2560), 1280)
+        assert not fused_conv.supported((1, 16, 16, 2560), 1280, 4)
         assert fused_conv.upsample_supported((1, 128, 128, 512), 512)
         assert not fused_conv.upsample_supported((1, 64, 64, 320), 320)
 
