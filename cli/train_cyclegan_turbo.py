@@ -92,16 +92,28 @@ def main(args):
             print(f"resumed from step {start_step}")
 
     mesh = mesh_mod.make_mesh(n_model=args.tensor_parallel)
+    dp = (mesh.shape[mesh_mod.DATA_AXIS] > 1
+          and mesh.shape[mesh_mod.MODEL_AXIS] == 1)
+    if mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+        # tensor-parallel pjit graphs: XLA's SPMD pass cannot partition
+        # Pallas custom calls — trace the pure-XLA layer paths
+        from img2img_turbo_tpu.models import layers
+        layers.set_fused_kernels(False)
     loss_cfg = losses_mod.UnpairedLossConfig(
         lambda_gan=args.lambda_gan, lambda_idt=args.lambda_idt,
         lambda_cycle=args.lambda_cycle,
         lambda_cycle_lpips=args.lambda_cycle_lpips,
         lambda_idt_lpips=args.lambda_idt_lpips,
         gan_loss_type=args.gan_loss_type)
-    step_fn = jax.jit(unpaired.make_unpaired_train_step(
+    raw_step = unpaired.make_unpaired_train_step(
         cfgs, clip_cfg, loss_cfg, meta, gen_tx, disc_tx,
         remat=args.gradient_checkpointing or not args.tiny_model,
-        accum_steps=args.gradient_accumulation_steps),
+        accum_steps=args.gradient_accumulation_steps,
+        axis_name=mesh_mod.DATA_AXIS if dp else None)
+    # DP runs through shard_map so each shard traces the single-device
+    # program (Pallas kernel engine included) on its local batch slice
+    step_fn = jax.jit(
+        mesh_mod.dp_shard_map(raw_step, mesh) if dp else raw_step,
         donate_argnums=(0,))
 
     state = mesh_mod.replicate(state, mesh)

@@ -89,15 +89,30 @@ def main(args):
 
     # mesh + step ---------------------------------------------------------
     mesh = mesh_mod.make_mesh(n_model=args.tensor_parallel)
+    n_data = mesh.shape[mesh_mod.DATA_AXIS]
+    dp = n_data > 1 and mesh.shape[mesh_mod.MODEL_AXIS] == 1
+    if mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+        # tensor-parallel pjit graphs: XLA's SPMD pass cannot partition
+        # Pallas custom calls — trace the pure-XLA layer paths
+        from img2img_turbo_tpu.models import layers
+        layers.set_fused_kernels(False)
     loss_cfg = losses_mod.PairedLossConfig(
         lambda_gan=args.lambda_gan, lambda_lpips=args.lambda_lpips,
         lambda_l2=args.lambda_l2, lambda_clipsim=args.lambda_clipsim,
         gan_loss_type=args.gan_loss_type)
-    step_fn = jax.jit(paired.make_paired_train_step(
+    raw_step = paired.make_paired_train_step(
         cfgs, clip_cfg, loss_cfg, meta, gen_tx, disc_tx,
         remat=args.gradient_checkpointing or not args.tiny_model,
-        accum_steps=args.gradient_accumulation_steps),
+        accum_steps=args.gradient_accumulation_steps,
+        axis_name=mesh_mod.DATA_AXIS if dp else None)
+    # DP runs through shard_map so each shard traces the single-device
+    # program (Pallas kernel engine included) on its local batch slice
+    step_fn = jax.jit(
+        mesh_mod.dp_shard_map(raw_step, mesh) if dp else raw_step,
         donate_argnums=(0,))
+    # eval/viz run on b=1 batches with fully replicated inputs: XLA keeps
+    # the un-partitioned program (Pallas calls included) whole on every
+    # device, so no shard_map is needed there
     eval_fn = paired.make_eval_step(cfgs, clip_cfg, meta)
 
     state = mesh_mod.replicate(state, mesh)

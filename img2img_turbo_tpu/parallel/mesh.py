@@ -48,20 +48,90 @@ def is_main_process() -> bool:
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
-    """(data, model) mesh. Defaults to all devices on the data axis."""
+    """(data, model) mesh. Defaults to all devices on the data axis.
+
+    Pure — no global kernel toggling. Data-parallel programs keep the
+    Pallas kernel engine by running the step through `dp_shard_map`
+    (per-shard single-device kernels, the TPU-native analog of the
+    reference's DDP scaling its cuDNN kernels untouched,
+    train_pix2pix_turbo.py:120-123). Only tensor-parallel pjit graphs
+    (n_model > 1) must trace the pure-XLA paths — Pallas custom calls are
+    not partitionable by XLA's SPMD pass; use `kernels_scope(mesh)`."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
         f"requested {n_data}x{n_model} mesh but only {len(devices)} devices")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    if n_data * n_model > 1:
-        # Pallas calls are not partitionable by XLA's SPMD pass; multi-device
-        # programs must trace the pure-XLA layer paths (models/layers.py
-        # FUSED_KERNELS). Single-chip serving re-enables them explicitly.
-        from img2img_turbo_tpu.models import layers
-        layers.set_fused_kernels(False)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def kernels_scope(mesh: Mesh):
+    """Scoped FUSED_KERNELS setting for tracing a program that XLA's SPMD
+    pass will partition over `mesh`: kernels stay ON for data-only meshes
+    (shard_map'd paths) and single-device meshes, OFF when the model axis
+    is sharded (enter the scope around jit tracing)."""
+    from img2img_turbo_tpu.models import layers
+
+    return layers.fused_kernels_scope(mesh.shape[MODEL_AXIS] == 1)
+
+
+def dp_shard_map_fn(fn, mesh: Mesh, batch_argnums, rng_argnums=(),
+                    out_specs=None, pmean_outputs=False):
+    """Generic data-parallel shard_map: run `fn` per-shard over the mesh's
+    data axis so the single-device program — Pallas kernels included —
+    executes on each shard's local batch slice. The TPU-native analog of
+    the reference's DDP scaling its cuDNN kernels untouched
+    (train_pix2pix_turbo.py:120-123); unlike annotation-DP this keeps
+    ops/fused_conv.py engaged (Pallas calls are opaque to XLA's SPMD pass).
+
+    Args at `batch_argnums` are batch-leading pytrees sharded over data
+    (batch size must divide the axis); args at `rng_argnums` are PRNG keys,
+    folded with the shard index so per-sample draws differ across shards;
+    everything else replicates. `out_specs` defaults to P(data) (batch-
+    leading outputs); pass P() for replicated outputs (requires the fn to
+    make them shard-invariant, e.g. via pmean). pmean_outputs=True pmeans
+    the whole output tree (scalar metrics) before returning it replicated.
+    """
+    batch_argnums = set(batch_argnums)
+    rng_argnums = set(rng_argnums)
+    if out_specs is None:
+        out_specs = P() if pmean_outputs else P(DATA_AXIS)
+
+    def wrapped(*args):
+        args = list(args)
+        if rng_argnums:
+            idx = jax.lax.axis_index(DATA_AXIS)
+            for r in rng_argnums:
+                args[r] = jax.random.fold_in(args[r], idx)
+        out = fn(*args)
+        if pmean_outputs:
+            out = jax.lax.pmean(out, DATA_AXIS)
+        return out
+
+    def runner(*args):
+        in_specs = tuple(
+            P(DATA_AXIS) if i in batch_argnums else P()
+            for i in range(len(args)))
+        f = jax.shard_map(wrapped, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+        return f(*args)
+
+    return runner
+
+
+def dp_shard_map(step_fn, mesh: Mesh, batch_argnums=(3,), rng_argnums=(4,)):
+    """DP wrapper for a train step `(state, frozen, aux_frozen, batch, rng)
+    -> (state, metrics)`. The step must have been built with
+    `axis_name=DATA_AXIS` (training/paired.py, training/unpaired.py) so
+    gradients/metrics are pmean'd across shards BEFORE each optimizer
+    update — the returned state is then identical on every shard and the
+    replicated out_specs P() is verified by shard_map's varying-axes
+    analysis."""
+    return dp_shard_map_fn(step_fn, mesh, batch_argnums, rng_argnums,
+                           out_specs=P())
+
+
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -85,11 +85,26 @@ class ServingEngine:
                  mode: str = "edge_to_image", dtype=jnp.bfloat16,
                  canny_low: float = 100.0, canny_high: float = 200.0,
                  donate_input: bool = True, base: Dict = None,
-                 lora: Dict = None):
+                 lora: Dict = None, mesh=None):
+        """mesh: a parallel.mesh data mesh for batch serving over multiple
+        chips — the pipeline is shard_map'd over the data axis so each
+        shard runs the full single-device program (Pallas kernels
+        included) on its local batch slice; the batch size must divide the
+        data-axis size. Params are replicated (866M bf16 fits one v5e)."""
         self.cfgs = cfgs or GeneratorConfigs()
         self.mode = mode
         self.dtype = dtype
         alphas = scheduler.make_alphas_cumprod()
+
+        def dp_wrap(fn, batch_argnums, rng_argnums):
+            if mesh is None:
+                return fn
+            from img2img_turbo_tpu.parallel import mesh as mesh_mod
+            if mesh.shape[mesh_mod.DATA_AXIS] == 1:
+                return fn
+            return mesh_mod.dp_shard_map_fn(
+                fn, mesh, batch_argnums=batch_argnums,
+                rng_argnums=rng_argnums)
 
         def cast(tree):
             # lora trees carry python scalars (rank/alpha) — leave those
@@ -100,26 +115,35 @@ class ServingEngine:
 
         if mode == "edge_to_image":
             self.params = cast(params)
-            fn = functools.partial(_serve_edge, cfgs=self.cfgs,
-                                   alphas=alphas, low=canny_low,
-                                   high=canny_high)
-            self._fn = jax.jit(fn, donate_argnames=("image_u8",)
-                               if donate_input else ())
+
+            def edge_fn(params, image_u8, caption_enc, rng):
+                return _serve_edge(params, self.cfgs, alphas, image_u8,
+                                   caption_enc, rng, canny_low, canny_high)
+
+            self._fn = jax.jit(dp_wrap(edge_fn, (1, 2), (3,)),
+                               donate_argnums=(1,) if donate_input else ())
         elif mode == "image":
             self.params = cast(params)
-            fn = functools.partial(_serve_image, cfgs=self.cfgs,
-                                   alphas=alphas)
-            self._fn = jax.jit(fn, donate_argnames=("image_u8",)
-                               if donate_input else ())
+
+            def image_fn(params, image_u8, caption_enc, rng):
+                return _serve_image(params, self.cfgs, alphas, image_u8,
+                                    caption_enc, rng)
+
+            self._fn = jax.jit(dp_wrap(image_fn, (1, 2), (3,)),
+                               donate_argnums=(1,) if donate_input else ())
         elif mode == "sketch":
             assert base is not None and lora is not None, (
                 "sketch mode needs factored base+lora (runtime r scaling)")
             self.base = cast(base)
             self.lora = cast(lora)
-            fn = functools.partial(_serve_sketch, cfgs=self.cfgs,
-                                   alphas=alphas)
+
+            def sketch_fn(base_p, lora_p, image_u8, caption_enc, rng, r):
+                return _serve_sketch(base_p, lora_p, self.cfgs, alphas,
+                                     image_u8, caption_enc, rng, r)
+
             self._sketch_fn = jax.jit(
-                fn, donate_argnames=("image_u8",) if donate_input else ())
+                dp_wrap(sketch_fn, (2, 3), (4,)),
+                donate_argnums=(2,) if donate_input else ())
         else:
             raise ValueError(f"unknown serving mode {mode!r}")
 
@@ -132,11 +156,11 @@ class ServingEngine:
                 caption_enc, (image_u8.shape[0],) + caption_enc.shape[1:])
         if self.mode == "sketch":
             return self._sketch_fn(self.base, self.lora,
-                                   image_u8=jnp.asarray(image_u8),
-                                   caption_enc=caption_enc.astype(self.dtype),
-                                   rng=rng, r=jnp.asarray(r, jnp.float32))
-        return self._fn(params=self.params, image_u8=jnp.asarray(image_u8),
-                        caption_enc=caption_enc.astype(self.dtype), rng=rng)
+                                   jnp.asarray(image_u8),
+                                   caption_enc.astype(self.dtype),
+                                   rng, jnp.asarray(r, jnp.float32))
+        return self._fn(self.params, jnp.asarray(image_u8),
+                        caption_enc.astype(self.dtype), rng)
 
     def warmup(self, batch: int, height: int, width: int, caption_enc):
         dummy = jnp.zeros((batch, height, width, 3), jnp.uint8)

@@ -83,11 +83,17 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
                            clip_cfg: clip_vit.CLIPViTConfig,
                            loss_cfg: losses_mod.PairedLossConfig,
                            meta: LoraMeta, gen_tx, disc_tx,
-                           remat: bool = True, accum_steps: int = 1):
+                           remat: bool = True, accum_steps: int = 1,
+                           axis_name=None):
     """accum_steps > 1 runs each optimize pass as a lax.scan over k
     micro-batches at constant activation memory (accelerator.accumulate
     equivalent, train_pix2pix_turbo.py:170); the batch dim must be divisible
-    by accum_steps. accum_steps == 1 is the direct fast path."""
+    by accum_steps. accum_steps == 1 is the direct fast path.
+
+    axis_name: set to the mesh's data axis when the step runs under
+    `mesh.dp_shard_map` — losses and gradients are pmean'd across shards
+    before every optimizer update, so the returned state is replicated
+    (the DDP allreduce, emitted inside the step)."""
     alphas = scheduler.make_alphas_cumprod()
     smooth = loss_cfg.gan_loss_type.endswith("_s")
 
@@ -98,15 +104,28 @@ def make_paired_train_step(cfgs: GeneratorConfigs,
 
     def vgrad(loss_fn, params, data, rng):
         """Uniform (loss, aux-with-leading-k-axis), grads — direct when
-        accum_steps == 1, scanned otherwise."""
+        accum_steps == 1, scanned otherwise. Under DP (axis_name set) the
+        loss/aux/grads are pmean'd over the data axis here — the single
+        chokepoint every optimize pass goes through."""
         if accum_steps == 1:
             (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, data, rng)
             aux = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x)[None], aux)
-            return (loss, aux), g
-        return accum_mod.accumulated_value_and_grad(
-            loss_fn, params, data, rng, accum_steps)
+        else:
+            (loss, aux), g = accum_mod.accumulated_value_and_grad(
+                loss_fn, params, data, rng, accum_steps)
+        if axis_name is not None:
+            # the DDP allreduce: grads averaged across shards. Scalar aux
+            # (per-pass loss metrics, (k,)-shaped after the micro-batch
+            # stack) rides along so logging is global; batch-leading aux
+            # (e.g. pass 2's generated images, consumed by the local
+            # discriminator pass) stays per-shard.
+            loss, g = jax.lax.pmean((loss, g), axis_name)
+            aux = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axis_name) if x.ndim <= 1 else x,
+                aux)
+        return (loss, aux), g
 
     def train_step(state, frozen, aux_frozen, batch, rng):
         """state: {gen, gen_opt, disc, disc_sn, disc_opt, step};

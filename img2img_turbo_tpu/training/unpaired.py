@@ -98,10 +98,15 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
                              clip_cfg: clip_vit.CLIPViTConfig,
                              loss_cfg: losses_mod.UnpairedLossConfig,
                              meta: CycleLoraMeta, gen_tx, disc_tx,
-                             remat: bool = True, accum_steps: int = 1):
+                             remat: bool = True, accum_steps: int = 1,
+                             axis_name=None):
     """accum_steps > 1 scans each objective over k micro-batches at constant
     activation memory (accelerator.accumulate equivalent,
-    train_cyclegan_turbo.py:168); batch dim must divide by accum_steps."""
+    train_cyclegan_turbo.py:168); batch dim must divide by accum_steps.
+
+    axis_name: the mesh data axis when running under `mesh.dp_shard_map` —
+    losses/grads are pmean'd across shards before each optimizer update
+    (see training/paired.py)."""
     alphas = scheduler.make_alphas_cumprod()
     smooth = loss_cfg.gan_loss_type.endswith("_s")
 
@@ -116,9 +121,18 @@ def make_unpaired_train_step(cfgs: GeneratorConfigs,
                 params, data, rng)
             aux = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x)[None], aux)
-            return (loss, aux), g
-        return accum_mod.accumulated_value_and_grad(
-            loss_fn, params, data, rng, accum_steps)
+        else:
+            (loss, aux), g = accum_mod.accumulated_value_and_grad(
+                loss_fn, params, data, rng, accum_steps)
+        if axis_name is not None:
+            # DDP allreduce: grads + scalar loss metrics averaged across
+            # shards; batch-leading aux (fake images fed to the local
+            # discriminator passes) stays per-shard
+            loss, g = jax.lax.pmean((loss, g), axis_name)
+            aux = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axis_name) if x.ndim <= 1 else x,
+                aux)
+        return (loss, aux), g
 
     def train_step(state, frozen, aux_frozen, batch, rng):
         """state: {gen, gen_opt, disc: {a, b}, disc_sn: {a, b}, disc_opt,

@@ -147,6 +147,102 @@ class TestDataParallel:
                                        rtol=2e-4, atol=1e-5)
 
 
+class TestShardMapDP:
+    """`mesh.dp_shard_map` DP: per-shard single-device programs (the path
+    that keeps the Pallas kernel engine engaged on multi-device meshes)."""
+
+    def _make_step(self, setup, axis_name, remat=True):
+        s = setup
+        sched = optim.make_lr_schedule("constant", 5e-4, 0, 100)
+        gen_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+        disc_tx = optim.make_adamw(sched, max_grad_norm=1.0)
+        return paired.make_paired_train_step(
+            s["cfgs"], s["clip_cfg"], losses_mod.PairedLossConfig(),
+            s["meta"], gen_tx, disc_tx, remat=remat, axis_name=axis_name)
+
+    def test_exact_vs_single_device(self, setup):
+        """8 shards each fed the SAME micro-batch with the SAME rng: pmean
+        averages identical grads, so every pass's update — and the final
+        state — must match the single-device step on that micro-batch. This
+        pins the spec layout, the pmean placement (before each optimizer
+        update), and state replication exactly."""
+        s = setup
+        batch = make_batch(b=2, seed=7)
+        tiled = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x, (8,) + (1,) * (x.ndim - 1)), batch)
+        mesh = mesh_mod.make_mesh()
+        dp_fn = jax.jit(mesh_mod.dp_shard_map(
+            self._make_step(s, mesh_mod.DATA_AXIS), mesh, rng_argnums=()))
+        st_dp, m_dp = dp_fn(s["state"], s["frozen"], s["aux_frozen"], tiled,
+                            jax.random.PRNGKey(9))
+        st_1, m_1 = jax.jit(self._make_step(s, None))(
+            s["state"], s["frozen"], s["aux_frozen"], batch,
+            jax.random.PRNGKey(9))
+        for k in m_1:
+            np.testing.assert_allclose(float(m_1[k]), float(m_dp[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        flat_dp = jax.tree_util.tree_leaves_with_path(st_dp["gen"])
+        flat_1 = dict(jax.tree_util.tree_leaves_with_path(st_1["gen"]))
+        for path, leaf in flat_dp:
+            # tolerance: the two programs compile separately (shard_map
+            # body vs plain jit) and XLA may reassociate reductions; any
+            # real spec/pmean mistake shows up at O(1) relative error
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_1[path]), rtol=1e-4,
+                atol=1e-6, err_msg=jax.tree_util.keystr(path))
+        assert st_dp["gen"]["conv_in"]["kernel"].sharding.is_fully_replicated
+
+    def test_distinct_shards_update_and_replicate(self, setup):
+        """Real DP shape: distinct per-shard data + folded rngs; state must
+        come back replicated (shard_map's varying-axes analysis verifies
+        the pmean discipline) with finite global metrics."""
+        s = setup
+        mesh = mesh_mod.make_mesh()
+        dp_fn = jax.jit(mesh_mod.dp_shard_map(
+            self._make_step(s, mesh_mod.DATA_AXIS), mesh))
+        state1, metrics = dp_fn(s["state"], s["frozen"], s["aux_frozen"],
+                                make_batch(b=8, seed=8),
+                                jax.random.PRNGKey(3))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        assert int(state1["step"]) == 1
+        kern = state1["gen"]["conv_in"]["kernel"]
+        assert kern.sharding.is_fully_replicated
+
+    def test_kernels_stay_engaged_in_shard_map(self, setup):
+        """The point of dp_shard_map: FUSED_KERNELS stays ON across a
+        multi-device mesh, and a Pallas kernel traces/lowers PER SHARD
+        inside the shard_map'd program with the correct vma threading
+        (ops/vma.py — a missing vma on any pallas out_shape fails right
+        here, at trace time under check_vma). VERDICT r2 item 2.
+
+        Trace/lower only, no multi-shard execution: interpret-mode pallas
+        calls carry ORDERED io-callback effects, and 8 shards x 1 host
+        core deadlocks on the ordering rendezvous (a shard waiting its
+        turn holds the only thread). Kernel execution semantics are pinned
+        single-device by tests/test_fused_conv.py and the TPU flows; real
+        multi-chip runs have no callbacks."""
+        from img2img_turbo_tpu.models import layers as L
+        from img2img_turbo_tpu.ops import fused_conv as fc
+
+        mesh = mesh_mod.make_mesh()
+        assert L.FUSED_KERNELS  # make_mesh must not flip the global
+        b, hw, c, co = 8, 16, 128, 128
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(b, hw, hw, c).astype(np.float32) * 0.5)
+        w = jnp.asarray(rng.randn(3, 3, c, co).astype(np.float32) * 0.05)
+        cb = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+
+        def fwd(xs):
+            y, _ = fc.fused_gn_silu_conv3x3(xs, w, cb)
+            return y
+
+        dp_fwd = mesh_mod.dp_shard_map_fn(fwd, mesh, batch_argnums=(0,))
+        # tracing runs shard_map's varying-axes analysis over the
+        # pallas_call: a vma-less out_shape raises right here
+        jaxpr = str(jax.make_jaxpr(dp_fwd)(x))
+        assert "shard_map" in jaxpr and "pallas_call" in jaxpr
+
+
 class TestLossComponents:
     def test_lpips_zero_for_identical_inputs(self):
         p = vgg_lpips.init_vgg_lpips(jax.random.PRNGKey(0))
