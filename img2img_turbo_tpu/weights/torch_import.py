@@ -261,6 +261,60 @@ def _inv_vae_mid(out, prefix: str, p) -> None:
     _inv_resnet(out, prefix + ".resnets.1", p["res2"])
 
 
+def _inv_attention(out, prefix: str, p) -> None:
+    _inv_lin(out, prefix + ".to_q", p["to_q"])
+    _inv_lin(out, prefix + ".to_k", p["to_k"])
+    _inv_lin(out, prefix + ".to_v", p["to_v"])
+    _inv_lin(out, prefix + ".to_out.0", p["to_out"])
+
+
+def _inv_transformer(out, prefix: str, p) -> None:
+    _inv_norm(out, prefix + ".norm", p["norm"])
+    _inv_lin(out, prefix + ".proj_in", p["proj_in"])
+    tb = prefix + ".transformer_blocks.0"
+    _inv_norm(out, tb + ".norm1", p["norm1"])
+    _inv_attention(out, tb + ".attn1", p["attn1"])
+    _inv_norm(out, tb + ".norm2", p["norm2"])
+    _inv_attention(out, tb + ".attn2", p["attn2"])
+    _inv_norm(out, tb + ".norm3", p["norm3"])
+    _inv_lin(out, tb + ".ff.net.0.proj", p["ff"]["proj"])
+    _inv_lin(out, tb + ".ff.net.2", p["ff"]["out"])
+    _inv_lin(out, prefix + ".proj_out", p["proj_out"])
+
+
+def export_unet_state_dict(params) -> Dict[str, Array]:
+    """Full diffusers `UNet2DConditionModel` state dict from a UNet param
+    tree — the exact inverse of `convert_unet_state_dict` (bijection pinned
+    by tests/test_full_parity.py). Enables reference-format export of the
+    dense (LoRA-merged) UNet and the full-model torch-mirror goldens."""
+    out: Dict[str, Array] = {}
+    _inv_conv(out, "conv_in", params["conv_in"])
+    _inv_lin(out, "time_embedding.linear_1", params["time_mlp"]["lin1"])
+    _inv_lin(out, "time_embedding.linear_2", params["time_mlp"]["lin2"])
+    for i, block in enumerate(params["down"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(out, f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(block.get("attns", ())):
+            _inv_transformer(out, f"down_blocks.{i}.attentions.{j}", a)
+        if "downsample" in block:
+            _inv_conv(out, f"down_blocks.{i}.downsamplers.0.conv",
+                      block["downsample"])
+    _inv_resnet(out, "mid_block.resnets.0", params["mid"]["res1"])
+    _inv_transformer(out, "mid_block.attentions.0", params["mid"]["attn"])
+    _inv_resnet(out, "mid_block.resnets.1", params["mid"]["res2"])
+    for i, block in enumerate(params["up"]):
+        for j, r in enumerate(block["resnets"]):
+            _inv_resnet(out, f"up_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(block.get("attns", ())):
+            _inv_transformer(out, f"up_blocks.{i}.attentions.{j}", a)
+        if "upsample" in block:
+            _inv_conv(out, f"up_blocks.{i}.upsamplers.0.conv",
+                      block["upsample"])
+    _inv_norm(out, "conv_norm_out", params["norm_out"])
+    _inv_conv(out, "conv_out", params["conv_out"])
+    return out
+
+
 def export_vae_state_dict(params) -> Dict[str, Array]:
     """Full diffusers `AutoencoderKL` state dict (incl. GroupNorms, quant
     convs and the img2img-turbo skip convs) from a VAE param tree — the
