@@ -1,14 +1,34 @@
-"""InceptionV3 feature extractor for FID (clean-fid equivalent).
+"""InceptionV3 feature extractor for FID (clean-fid / pytorch-fid exact).
 
 Replaces the `clean-fid` dependency (reference train_pix2pix_turbo.py:152-163,
-291-296; train_cyclegan_turbo.py:89-125,339-376). Architecture is the
-standard FID InceptionV3 (torchvision layout): BasicConv2d = conv + frozen
-BatchNorm(eps=1e-3) + ReLU, Mixed_5b..7c, global average pool -> 2048-d
-features. BatchNorm is folded to an affine (scale, bias) at conversion time
-— inference-only, so the fold is exact.
+291-296; train_cyclegan_turbo.py:89-125,339-376). Architecture is the FID
+InceptionV3: BasicConv2d = conv + frozen BatchNorm(eps=1e-3) + ReLU,
+Mixed_5b..7c, global average pool -> 2048-d pool3 features. BatchNorm is
+folded to an affine (scale, bias) at conversion time — inference-only, so
+the fold is exact.
 
-`convert_inception_state_dict` ingests torchvision/clean-fid weights when
-present; random init keeps the metric structurally exercisable offline.
+Published-FID comparability requires the TF-ported model's quirks, which
+differ from torchvision's `inception_v3` in exactly two ways (pytorch-fid
+`FIDInceptionA/C/E`; clean-fid `inception_pytorch.py` is the same port):
+
+- every in-block 3x3 avg pool uses count_include_pad=False (`_avgpool3`
+  divides by the real window count at the borders), and
+- Mixed_7c's pool branch is a MAX pool (`FIDInceptionE_2` — reproducing a
+  bug in the original TF graph), while Mixed_7b keeps the avg pool.
+
+`fid_variant=False` switches both back to torchvision semantics.
+
+Weight-source matrix for `convert_inception_state_dict` (both use
+torchvision module naming, so one converter covers both):
+
+| source                                   | quirks needed | classes fc |
+|------------------------------------------|---------------|-----------|
+| pt_inception-2015-12-05 (pytorch-fid /   | fid_variant   | 1008      |
+|   clean-fid FID_WEIGHTS_URL)             | =True         | (ignored) |
+| torchvision inception_v3 IMAGENET1K      | =False        | 1000      |
+
+Random init keeps the metric structurally exercisable offline; the
+layer-for-layer torch-mirror golden lives in tests/test_metrics.py.
 """
 
 from __future__ import annotations
@@ -48,6 +68,9 @@ def _maxpool(x, k=3, s=2):
 
 
 def _avgpool3(x):
+    """3x3 stride-1 SAME avg pool with count_include_pad=False semantics
+    (divide by the REAL window size at borders) — the FID TF-port variant
+    shared by every in-block pool branch."""
     s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
                               (1, 1, 1, 1), "SAME")
     c = jax.lax.reduce_window(jnp.ones_like(x[..., :1]), 0.0, jax.lax.add,
@@ -187,7 +210,13 @@ def _run_d(p, x):
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _run_e(p, x):
+def _maxpool3_same(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                                 (1, 1, 1, 1), "SAME")
+
+
+def _run_e(p, x, pool="avg"):
+    """pool="max" is the FIDInceptionE_2 (Mixed_7c) TF-bug reproduction."""
     b1 = _bconv(p["branch1x1"], x)
     b3 = _bconv(p["branch3x3_1"], x)
     b3 = jnp.concatenate([_bconv(p["branch3x3_2a"], b3),
@@ -195,7 +224,8 @@ def _run_e(p, x):
     bd = _bconv(p["branch3x3dbl_2"], _bconv(p["branch3x3dbl_1"], x))
     bd = jnp.concatenate([_bconv(p["branch3x3dbl_3a"], bd),
                           _bconv(p["branch3x3dbl_3b"], bd)], axis=-1)
-    bp = _bconv(p["branch_pool"], _avgpool3(x))
+    pooled = _maxpool3_same(x) if pool == "max" else _avgpool3(x)
+    bp = _bconv(p["branch_pool"], pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -227,16 +257,21 @@ def make_feature_fn(params):
     import functools
     arrays, static = split_static(params)
 
-    @jax.jit
-    def fn(arrs, images_unit):
-        return inception_features(merge_static(arrs, static), images_unit)
+    @functools.partial(jax.jit, static_argnames=("fid_variant",))
+    def fn(arrs, images_unit, fid_variant=True):
+        return inception_features(merge_static(arrs, static), images_unit,
+                                  fid_variant=fid_variant)
 
     return functools.partial(fn, arrays)
 
 
-def inception_features(params, images_unit) -> jax.Array:
+def inception_features(params, images_unit,
+                       fid_variant: bool = True) -> jax.Array:
     """images_unit: (B, 299, 299, 3) floats in [0, 1] (clean-fid feeds
-    uint8/255 then scales internally to [-1, 1]). Returns (B, 2048)."""
+    uint8/255 then scales internally to [-1, 1]). Returns (B, 2048).
+
+    fid_variant: TF-port pooling quirks (see module docstring) — keep True
+    for published-FID comparability with pt_inception weights."""
     x = images_unit * 2.0 - 1.0
     x = _bconv(params["Conv2d_1a_3x3"], x)
     x = _bconv(params["Conv2d_2a_3x3"], x)
@@ -255,7 +290,8 @@ def inception_features(params, images_unit) -> jax.Array:
     x = _run_c(params["Mixed_6e"], x)
     x = _run_d(params["Mixed_7a"], x)
     x = _run_e(params["Mixed_7b"], x)
-    x = _run_e(params["Mixed_7c"], x)
+    x = _run_e(params["Mixed_7c"], x,
+               pool="max" if fid_variant else "avg")
     return jnp.mean(x, axis=(1, 2))
 
 

@@ -63,6 +63,166 @@ class TestInception:
         assert frac.max() > 1e-3
 
 
+class TestInceptionTorchGolden:
+    """Layer-for-layer torch-mirror golden for the FID InceptionV3
+    (VERDICT r2 item 7): a functional torch forward written from
+    pytorch-fid/clean-fid semantics (FIDInceptionA/C/E — every in-block
+    avg pool count_include_pad=False; Mixed_7c pool branch MAX in the
+    fid_variant), fed the SAME torchvision-layout state dict that
+    `convert_inception_state_dict` ingests. Pins the converter's BN fold
+    (eps=1e-3), every conv's stride/padding, block wiring, and both
+    fid_variant pooling modes."""
+
+    def _random_state_dict(self, seed=0):
+        import torch
+
+        rng = np.random.RandomState(seed)
+        proto = inc.init_inception(jax.random.PRNGKey(0))
+        sd = {}
+
+        def walk(p, prefix):
+            if "kernel" in p:
+                kh, kw, cin, cout = p["kernel"].shape
+                sd[prefix + ".conv.weight"] = (
+                    rng.randn(cout, cin, kh, kw)
+                    / np.sqrt(cin * kh * kw)).astype(np.float32)
+                sd[prefix + ".bn.weight"] = (
+                    0.5 + rng.rand(cout).astype(np.float32))
+                sd[prefix + ".bn.bias"] = rng.randn(cout).astype(
+                    np.float32) * 0.1
+                sd[prefix + ".bn.running_mean"] = rng.randn(cout).astype(
+                    np.float32) * 0.1
+                sd[prefix + ".bn.running_var"] = (
+                    0.5 + rng.rand(cout).astype(np.float32))
+                return
+            for k, v in p.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+
+        walk(proto, "")
+        return proto, sd, {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    def _torch_forward(self, proto, tsd, x, fid_variant):
+        import torch
+        import torch.nn.functional as F
+
+        def bconv(p, prefix, x):
+            (ph, _), (pw, _) = p["pad"]
+            y = F.conv2d(x, tsd[prefix + ".conv.weight"], None,
+                         stride=p["stride"], padding=(ph, pw))
+            y = F.batch_norm(
+                y, tsd[prefix + ".bn.running_mean"],
+                tsd[prefix + ".bn.running_var"],
+                tsd[prefix + ".bn.weight"], tsd[prefix + ".bn.bias"],
+                training=False, eps=1e-3)
+            return F.relu(y)
+
+        def avg3(x):
+            return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+        def run_a(b, x):
+            p = proto[b]
+            b1 = bconv(p["branch1x1"], b + ".branch1x1", x)
+            b5 = bconv(p["branch5x5_2"], b + ".branch5x5_2",
+                       bconv(p["branch5x5_1"], b + ".branch5x5_1", x))
+            bd = x
+            for n in ["branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"]:
+                bd = bconv(p[n], f"{b}.{n}", bd)
+            bp = bconv(p["branch_pool"], b + ".branch_pool", avg3(x))
+            return torch.cat([b1, b5, bd, bp], 1)
+
+        def run_b(b, x):
+            p = proto[b]
+            b3 = bconv(p["branch3x3"], b + ".branch3x3", x)
+            bd = x
+            for n in ["branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"]:
+                bd = bconv(p[n], f"{b}.{n}", bd)
+            return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+        def run_c(b, x):
+            p = proto[b]
+            b1 = bconv(p["branch1x1"], b + ".branch1x1", x)
+            b7 = x
+            for n in ["branch7x7_1", "branch7x7_2", "branch7x7_3"]:
+                b7 = bconv(p[n], f"{b}.{n}", b7)
+            bd = x
+            for n in ["branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                      "branch7x7dbl_4", "branch7x7dbl_5"]:
+                bd = bconv(p[n], f"{b}.{n}", bd)
+            bp = bconv(p["branch_pool"], b + ".branch_pool", avg3(x))
+            return torch.cat([b1, b7, bd, bp], 1)
+
+        def run_d(b, x):
+            p = proto[b]
+            b3 = bconv(p["branch3x3_2"], b + ".branch3x3_2",
+                       bconv(p["branch3x3_1"], b + ".branch3x3_1", x))
+            b7 = x
+            for n in ["branch7x7x3_1", "branch7x7x3_2", "branch7x7x3_3",
+                      "branch7x7x3_4"]:
+                b7 = bconv(p[n], f"{b}.{n}", b7)
+            return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+        def run_e(b, x, pool):
+            p = proto[b]
+            b1 = bconv(p["branch1x1"], b + ".branch1x1", x)
+            b3 = bconv(p["branch3x3_1"], b + ".branch3x3_1", x)
+            b3 = torch.cat(
+                [bconv(p["branch3x3_2a"], b + ".branch3x3_2a", b3),
+                 bconv(p["branch3x3_2b"], b + ".branch3x3_2b", b3)], 1)
+            bd = bconv(p["branch3x3dbl_2"], b + ".branch3x3dbl_2",
+                       bconv(p["branch3x3dbl_1"], b + ".branch3x3dbl_1", x))
+            bd = torch.cat(
+                [bconv(p["branch3x3dbl_3a"], b + ".branch3x3dbl_3a", bd),
+                 bconv(p["branch3x3dbl_3b"], b + ".branch3x3dbl_3b", bd)], 1)
+            pooled = (F.max_pool2d(x, 3, 1, 1) if pool == "max"
+                      else avg3(x))
+            bp = bconv(p["branch_pool"], b + ".branch_pool", pooled)
+            return torch.cat([b1, b3, bd, bp], 1)
+
+        x = x * 2.0 - 1.0
+        for n in ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"]:
+            x = bconv(proto[n], n, x)
+        x = F.max_pool2d(x, 3, 2)
+        for n in ["Conv2d_3b_1x1", "Conv2d_4a_3x3"]:
+            x = bconv(proto[n], n, x)
+        x = F.max_pool2d(x, 3, 2)
+        for n in ["Mixed_5b", "Mixed_5c", "Mixed_5d"]:
+            x = run_a(n, x)
+        x = run_b("Mixed_6a", x)
+        for n in ["Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"]:
+            x = run_c(n, x)
+        x = run_d("Mixed_7a", x)
+        x = run_e("Mixed_7b", x, "avg")
+        x = run_e("Mixed_7c", x, "max" if fid_variant else "avg")
+        return x.mean(dim=(2, 3))
+
+    @pytest.mark.parametrize("fid_variant", [True, False])
+    def test_full_forward_parity(self, fid_variant):
+        import torch
+
+        proto, sd, tsd = self._random_state_dict()
+        params = inc.convert_inception_state_dict(sd)
+        # non-square, stem-survivable sizes instead of 299x299: spatial
+        # extent changes no wiring and keeps the CPU run fast. The fid
+        # variant needs Mixed_7c at >=2x2 (115x107 -> 2x2) so its
+        # max-vs-avg pool quirk is numerically live; 1x1 would make the
+        # two pools coincide.
+        hw = (115, 107) if fid_variant else (83, 75)
+        x = np.random.RandomState(1).rand(2, *hw, 3).astype(np.float32)
+        got = np.asarray(inc.inception_features(
+            params, jnp.asarray(x), fid_variant=fid_variant))
+        with torch.no_grad():
+            want = self._torch_forward(
+                proto, tsd, torch.from_numpy(x).permute(0, 3, 1, 2),
+                fid_variant).numpy()
+        assert got.shape == want.shape == (2, 2048)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        # the two variants must actually differ (the quirks are live)
+        if fid_variant:
+            other = np.asarray(inc.inception_features(
+                params, jnp.asarray(x), fid_variant=False))
+            assert np.abs(got - other).max() > 1e-4
+
+
 class TestDinoStruct:
     @pytest.fixture(scope="class")
     def dino(self):
