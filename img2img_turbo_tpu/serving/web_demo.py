@@ -8,6 +8,10 @@ surface as a self-contained stdlib `http.server` app:
 
 - `GET /`            the canvas UI (pencil, eraser, undo, clear, download,
                      style dropdown, prompt, seed + randomize, r slider)
+- `GET /canny`       the canny edge->image UI (image upload/drag-drop,
+                     prompt, low/high threshold sliders 1-255 step 10 with
+                     re-run on change, inverted edge viz + output — the
+                     `gradio_canny2image.py:30-78` tool surface)
 - `POST /api/sketch` {image: dataURL-PNG, prompt, style, seed, r}
                      -> {image: dataURL-PNG} via SketchDemo.run
 - `POST /api/canny`  {image, prompt, low, high} -> {edges, image}
@@ -143,6 +147,94 @@ async function go() {
 """
 
 
+_CANNY_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>img2img-turbo (TPU) canny demo</title>
+<style>
+body { font-family: system-ui, sans-serif; margin: 1.5rem; background: #111;
+       color: #eee; }
+h1 { font-size: 1.2rem; }
+.row { display: flex; gap: 1rem; align-items: flex-start; flex-wrap: wrap; }
+.col { display: flex; flex-direction: column; gap: .4rem; }
+button, select, input { background: #222; color: #eee; border: 1px solid
+  #555; border-radius: 6px; padding: .4rem .7rem; margin: .15rem; }
+img.panel { border: 1px solid #555; min-width: 256px; min-height: 256px;
+            max-width: 512px; background: #000; }
+#drop { border: 2px dashed #555; border-radius: 8px; padding: 2rem;
+        text-align: center; color: #aaa; cursor: pointer; }
+#drop.hover { border-color: #3a6; color: #3a6; }
+label { font-size: .85rem; }
+#status { color: #8af; font-size: .85rem; }
+a { color: #8af; }
+</style></head><body>
+<h1>img2img-turbo — canny edge to image (one-step, TPU)
+  <a href="/">sketch demo &rarr;</a></h1>
+<div class="row">
+  <div class="col" style="max-width: 420px">
+    <div id="drop">click or drop an image here</div>
+    <input id="file" type="file" accept="image/*" style="display:none"/>
+    <input id="prompt" size="40" placeholder="prompt"/>
+    <label>Canny low threshold
+      <input id="low" type="range" min="1" max="255" step="10" value="100"/>
+      <span id="lowv">100</span></label>
+    <label>Canny high threshold
+      <input id="high" type="range" min="1" max="255" step="10" value="200"/>
+      <span id="highv">200</span></label>
+    <button id="run">run</button>
+    <div id="status"></div>
+  </div>
+  <div class="col"><span>canny edges</span>
+    <img id="edges" class="panel" alt="edges"/></div>
+  <div class="col"><span>output</span>
+    <img id="outimg" class="panel" alt="output"/></div>
+</div>
+<script>
+let dataUrl = null;
+const drop = document.getElementById('drop');
+const file = document.getElementById('file');
+function load(f) { const r = new FileReader();
+  r.onload = () => { dataUrl = r.result;
+    drop.textContent = f.name + ' (' + f.type + ')'; go(); };
+  r.readAsDataURL(f); }
+drop.onclick = () => file.click();
+file.onchange = () => { if (file.files.length) load(file.files[0]); };
+drop.ondragover = (e) => { e.preventDefault(); drop.classList.add('hover'); };
+drop.ondragleave = () => drop.classList.remove('hover');
+drop.ondrop = (e) => { e.preventDefault(); drop.classList.remove('hover');
+  if (e.dataTransfer.files.length) load(e.dataTransfer.files[0]); };
+let timer = null;
+function schedule() { clearTimeout(timer); timer = setTimeout(go, 300); }
+for (const id of ['low', 'high']) {
+  document.getElementById(id).oninput = (e) => {
+    document.getElementById(id + 'v').textContent = e.target.value;
+    schedule(); };  // re-run on threshold change, as the reference does
+}
+document.getElementById('prompt').onchange = schedule;
+document.getElementById('run').onclick = () => go();
+async function go() {
+  if (!dataUrl) return;
+  const status = document.getElementById('status');
+  status.textContent = 'running...';
+  const body = {
+    image: dataUrl,
+    prompt: document.getElementById('prompt').value,
+    low: parseInt(document.getElementById('low').value),
+    high: parseInt(document.getElementById('high').value),
+  };
+  try {
+    const resp = await fetch('/api/canny', {method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify(body)});
+    const out = await resp.json();
+    if (out.error) { status.textContent = out.error; return; }
+    document.getElementById('edges').src = out.edges;
+    document.getElementById('outimg').src = out.image;
+    status.textContent = '';
+  } catch (err) { status.textContent = String(err); }
+}
+</script></body></html>
+"""
+
+
 def _render_page() -> str:
     opts = "".join(
         f'<option value="{name}"{" selected" if name == DEFAULT_STYLE else ""}>'
@@ -170,6 +262,7 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
     sketch = SketchDemo(pipe)
     canny = CannyDemo(pipe)
     page = _render_page().encode()
+    canny_page = _CANNY_PAGE.encode()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -184,12 +277,13 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path in ("/", "/index.html"):
+            if self.path in ("/", "/index.html", "/canny"):
+                body = canny_page if self.path == "/canny" else page
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
-                self.send_header("Content-Length", str(len(page)))
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                self.wfile.write(page)
+                self.wfile.write(body)
             else:
                 self.send_error(404)
 

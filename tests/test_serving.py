@@ -174,5 +174,22 @@ class TestWebDemo:
             out_img = Image.open(io.BytesIO(
                 base64.b64decode(out["image"].split(",", 1)[1])))
             assert out_img.size == (64, 64)
+
+            # canny canvas UI (gradio_canny2image.py:30-78 tool surface):
+            # upload/drop target, threshold sliders 1-255 step 10, edge
+            # viz + output panels, wired to the /api/canny endpoint
+            cpage = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/canny", timeout=30).read().decode()
+            for control in ('id="drop"', 'id="low"', 'id="high"',
+                            'min="1"', 'max="255"', 'step="10"',
+                            'id="edges"', 'id="outimg"', "/api/canny"):
+                assert control in cpage, control
+            body = json.dumps({"image": data_url, "prompt": "a cat",
+                               "low": 100, "high": 200}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/canny", data=body,
+                headers={"Content-Type": "application/json"})
+            out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+            assert "edges" in out and "image" in out, out
         finally:
             server.shutdown()
