@@ -706,6 +706,88 @@ def geglu_ff(p, x):
 
 
 # ---------------------------------------------------------------------------
+# Fused transformer glue (ops/fused_matmul.py) — Pallas LN+matmul kernels
+# ---------------------------------------------------------------------------
+
+
+def _fused_mm(x, ws, bs, ln=None, residual=None, gate=False, eps=1e-5):
+    """Route to the Pallas matmul engine when it is on; None otherwise (the
+    caller keeps the XLA composition)."""
+    if not _pallas_tpu():
+        return None
+    from img2img_turbo_tpu.ops import fused_matmul as fm
+    return fm.fused(x, tuple(ws), tuple(bs), ln=ln, residual=residual,
+                    gate=gate, eps=eps)
+
+
+def linear_fused(p, x, residual=None):
+    """`linear` [+ residual] through the Pallas matmul engine on TPU —
+    the transformer's proj_in/proj_out and FF output projections, whose
+    XLA dots otherwise sit between layout-pinning Pallas custom calls."""
+    b = p.get("bias")
+    if b is None:
+        b = jnp.zeros((p["kernel"].shape[1],), x.dtype)
+    out = _fused_mm(x, (p["kernel"],), (b,), residual=residual)
+    if out is not None:
+        return out[0]
+    y = linear(p, x)
+    return y if residual is None else y + residual
+
+
+def attention_block(p, p_norm, x, context=None, *, num_heads: int,
+                    attn_fn=None, eps: float = 1e-5):
+    """`x + attention(LN(x))` — the BasicTransformerBlock attention step.
+
+    On TPU the LN+q/k/v projections run as one shared-prologue Pallas
+    kernel (3-output for self-attention; LN-q + 2-output kv on the context
+    for cross-attention) and the out-projection fuses the residual add, so
+    no XLA dot remains between the Pallas conv/flash neighbors. Falls back
+    to `layer_norm` + `attention` off-TPU or when a shape gate fails."""
+    dq = p["to_q"]["kernel"].shape[1]
+    z = jnp.zeros((dq,), x.dtype)
+    ln = (p_norm["scale"], p_norm["bias"])
+    q = k = v = None
+    if context is None:
+        outs = _fused_mm(x, (p["to_q"]["kernel"], p["to_k"]["kernel"],
+                             p["to_v"]["kernel"]), (z, z, z), ln=ln, eps=eps)
+        if outs is not None:
+            q, k, v = outs
+    else:
+        qo = _fused_mm(x, (p["to_q"]["kernel"],), (z,), ln=ln, eps=eps)
+        kvo = _fused_mm(context, (p["to_k"]["kernel"], p["to_v"]["kernel"]),
+                        (z, z))
+        if qo is not None and kvo is not None:
+            q, (k, v) = qo[0], kvo
+    if q is None:
+        return x + attention(p, layer_norm(p_norm, x, eps), context,
+                             num_heads=num_heads, attn_fn=attn_fn)
+    if attn_fn is not None:
+        b, sq, d = q.shape
+        skv = k.shape[1]
+        hd = d // num_heads
+        qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
+        o = attn_fn(qh, kh, vh).transpose(0, 2, 1, 3).reshape(b, sq, d)
+    else:
+        from img2img_turbo_tpu.ops.attention import multihead_attention
+        o = multihead_attention(q, k, v, num_heads)
+    return linear_fused(p["to_out"], o, residual=x)
+
+
+def geglu_ff_block(p, p_norm, x, eps: float = 1e-5):
+    """`x + geglu_ff(LN(x))` — the BasicTransformerBlock FF step. On TPU
+    stage 1 runs LN + both halves of the packed GEGLU `proj` weight in one
+    gated Pallas kernel (the weight is viewed through shifted block
+    indices, never sliced at trace time) and stage 2 fuses the residual."""
+    u = _fused_mm(x, (p["proj"]["kernel"],), (p["proj"]["bias"],),
+                  ln=(p_norm["scale"], p_norm["bias"]), gate=True, eps=eps)
+    if u is None:
+        return x + geglu_ff(p, layer_norm(p_norm, x, eps))
+    return linear_fused(p["out"], u[0], residual=x)
+
+
+# ---------------------------------------------------------------------------
 # Resampling
 # ---------------------------------------------------------------------------
 

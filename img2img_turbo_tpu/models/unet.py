@@ -153,22 +153,26 @@ def _init_transformer(key, ch: int, num_heads: int, cross_dim: int):
 
 def _transformer(p, x, context, num_heads: int, cfg: UNetConfig, attn_fn,
                  x_stats=None):
+    """Transformer2DModel, use_linear_projection=True (diffusers
+    transformer_2d.py semantics). On TPU every matmul here runs as a
+    Pallas kernel (ops/fused_matmul.py): proj_in, shared-LN qkv, out+
+    residual, gated GEGLU, proj_out+residual — so the whole block, flash
+    attention included, keeps a Pallas-to-Pallas neighborhood with no XLA
+    dots against pinned layouts (the round-2 6-9 ms transformer glue)."""
     b, h, w, c = x.shape
-    residual = x
     hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups,
                           cfg.attn_norm_eps, x_stats=x_stats)
     hidden = hidden.reshape(b, h * w, c)
-    hidden = L.linear(p["proj_in"], hidden)
+    hidden = L.linear_fused(p["proj_in"], hidden)
     # BasicTransformerBlock
-    hidden = hidden + L.attention(
-        p["attn1"], L.layer_norm(p["norm1"], hidden),
-        num_heads=num_heads, attn_fn=attn_fn)
-    hidden = hidden + L.attention(
-        p["attn2"], L.layer_norm(p["norm2"], hidden), context,
-        num_heads=num_heads, attn_fn=attn_fn)
-    hidden = hidden + L.geglu_ff(p["ff"], L.layer_norm(p["norm3"], hidden))
-    hidden = L.linear(p["proj_out"], hidden)
-    return hidden.reshape(b, h, w, c) + residual
+    hidden = L.attention_block(p["attn1"], p["norm1"], hidden,
+                               num_heads=num_heads, attn_fn=attn_fn)
+    hidden = L.attention_block(p["attn2"], p["norm2"], hidden, context,
+                               num_heads=num_heads, attn_fn=attn_fn)
+    hidden = L.geglu_ff_block(p["ff"], p["norm3"], hidden)
+    hidden = L.linear_fused(p["proj_out"], hidden,
+                            residual=x.reshape(b, h * w, c))
+    return hidden.reshape(b, h, w, c)
 
 
 # ---------------------------------------------------------------------------

@@ -88,20 +88,32 @@ def _init_mid_attn(key, ch: int):
 
 
 def _mid_attn(p, x, cfg: VAEConfig, x_stats=None):
-    """Single-head spatial self-attention with residual (SD VAE attn_1)."""
+    """Single-head spatial self-attention with residual (SD VAE attn_1).
+
+    On TPU the biased q/k/v projections run as one 3-output Pallas matmul
+    and to_out fuses the residual add (ops/fused_matmul.py) — between the
+    Pallas GN-statted input and the flash kernel no XLA dot remains."""
     b, h, w, c = x.shape
     hidden = L.group_norm(p["norm"], x, cfg.norm_num_groups, cfg.norm_eps,
                           x_stats=x_stats)
     hidden = hidden.reshape(b, h * w, c)
-    q = L.linear(p["to_q"], hidden)
-    k = L.linear(p["to_k"], hidden)
-    v = L.linear(p["to_v"], hidden)
+    qkv = L._fused_mm(hidden, (p["to_q"]["kernel"], p["to_k"]["kernel"],
+                               p["to_v"]["kernel"]),
+                      (p["to_q"]["bias"], p["to_k"]["bias"],
+                       p["to_v"]["bias"]))
+    if qkv is not None:
+        q, k, v = qkv
+    else:
+        q = L.linear(p["to_q"], hidden)
+        k = L.linear(p["to_k"], hidden)
+        v = L.linear(p["to_v"], hidden)
     # 64x64 latents give 4096 tokens here; the folded flash kernel avoids
     # the 4096^2 score materialization (routes to XLA on CPU)
     from img2img_turbo_tpu.ops.attention import multihead_attention
     o = multihead_attention(q, k, v, num_heads=1)
-    o = L.linear(p["to_out"], o).reshape(b, h, w, c)
-    return x + o
+    return L.linear_fused(p["to_out"], o,
+                          residual=x.reshape(b, h * w, c)).reshape(
+        b, h, w, c)
 
 
 def _init_mid(key, ch: int):
