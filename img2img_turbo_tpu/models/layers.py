@@ -712,8 +712,11 @@ def geglu_ff(p, x):
 
 def _fused_mm(x, ws, bs, ln=None, residual=None, gate=False, eps=1e-5):
     """Route to the Pallas matmul engine when it is on; None otherwise (the
-    caller keeps the XLA composition)."""
-    if not _pallas_tpu():
+    caller keeps the XLA composition). FM_DISABLE=1 turns just this engine
+    off (A/B the transformer glue against XLA dots without touching the
+    conv kernels) — read at trace time like FUSED_KERNELS."""
+    import os
+    if os.environ.get("FM_DISABLE") == "1" or not _pallas_tpu():
         return None
     from img2img_turbo_tpu.ops import fused_matmul as fm
     return fm.fused(x, tuple(ws), tuple(bs), ln=ln, residual=residual,

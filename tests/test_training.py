@@ -183,13 +183,24 @@ class TestShardMapDP:
                                        rtol=1e-4, atol=1e-6, err_msg=k)
         flat_dp = jax.tree_util.tree_leaves_with_path(st_dp["gen"])
         flat_1 = dict(jax.tree_util.tree_leaves_with_path(st_1["gen"]))
+        lr = 5e-4
         for path, leaf in flat_dp:
             # tolerance: the two programs compile separately (shard_map
-            # body vs plain jit) and XLA may reassociate reductions; any
-            # real spec/pmean mistake shows up at O(1) relative error
-            np.testing.assert_allclose(
-                np.asarray(leaf), np.asarray(flat_1[path]), rtol=1e-4,
-                atol=1e-6, err_msg=jax.tree_util.keystr(path))
+            # body vs plain jit) and XLA may reassociate reductions. On
+            # elements whose TRUE gradient is zero at step 1 (anything
+            # gated by a zero-init LoRA 'b'), Adam turns that fp noise
+            # into an update of arbitrary sign bounded by lr — so single
+            # elements may differ by up to 2*lr legitimately. A real
+            # spec/pmean mistake perturbs a large fraction of elements,
+            # so bound the mismatch FRACTION tightly and the absolute
+            # difference by the update scale.
+            a, r = np.asarray(leaf), np.asarray(flat_1[path])
+            bad = ~np.isclose(a, r, rtol=1e-3, atol=1e-5)
+            name = jax.tree_util.keystr(path)
+            assert bad.mean() < 0.01, (
+                f"{name}: {bad.sum()}/{bad.size} elements off")
+            assert np.abs(a - r).max() < 2.1 * lr, (
+                f"{name}: max diff {np.abs(a - r).max()} above update scale")
         assert st_dp["gen"]["conv_in"]["kernel"].sharding.is_fully_replicated
 
     def test_distinct_shards_update_and_replicate(self, setup):
