@@ -348,6 +348,90 @@ def _make_fused_gsc(num_groups: int, eps: float, has_eb: bool, has_res: bool,
                             preferred_element_type=skx.dtype)
         return y
 
+    def pallas_bwd(saved, gy):
+        """Analytic backward of xla_impl's composition with the heavy ops
+        on the Pallas engine (VERDICT r2 item 6: the jax.vjp(xla_impl)
+        backward interleaved XLA convs with the Pallas forwards — the
+        layout-pinned-neighbor pathology the forward was built to avoid):
+
+        - du = conv_T(gy, w): the SAME fused conv kernel on gy with the
+          spatially-flipped, io-swapped weights — a pure Pallas conv.
+        - dw: 9 shifted (BHW, C)^T @ (BHW, Co) MXU dots — plain XLA dots
+          never enter the conv-rewrite path that degrades next to custom
+          calls; only convs do.
+        - GN/SiLU chain + reductions: fp32 XLA elementwise (fuses freely
+          against custom-call neighbors).
+        """
+        x, scale, bias, w, cb, eb, res, xs, (skx, skw) = unpack(saved)
+        b, h, wd, c = x.shape
+        co = w.shape[-1]
+        cg = c // num_groups
+        f32 = jnp.float32
+
+        # GN stats, two-pass fp32 (same formulation as _gn_xla)
+        xf = x.astype(f32).reshape(b, h * wd, num_groups, cg)
+        mean = jnp.mean(xf, axis=(1, 3))
+        var = jnp.mean(jnp.square(xf - mean[:, None, :, None]),
+                       axis=(1, 3))
+        inv = jax.lax.rsqrt(var + eps)                      # (b, g)
+        sg = scale.astype(f32).reshape(num_groups, cg)
+        bg = bias.astype(f32).reshape(num_groups, cg)
+        xhat = (xf - mean[:, None, :, None]) * inv[:, None, :, None]
+        z = xhat * sg[None, None] + bg[None, None]
+        sig = jax.nn.sigmoid(z)
+        uprime = sig * (1.0 + z * (1.0 - sig))              # silu'
+
+        # du = conv_T(gy, w) on the Pallas engine
+        w_t = w[::-1, ::-1].swapaxes(2, 3)                  # (3,3,Co,C)
+        du4, _ = fused_conv.fused_gn_silu_conv3x3(
+            gy, w_t.astype(gy.dtype), jnp.zeros((c,), gy.dtype))
+        du = du4.astype(f32).reshape(b, h * wd, num_groups, cg)
+        dz = du * uprime
+
+        # GN backward (dz -> dx, dscale, dbias)
+        dxhat = dz * sg[None, None]
+        m1 = jnp.mean(dxhat, axis=(1, 3))
+        m2 = jnp.mean(dxhat * xhat, axis=(1, 3))
+        dx = (inv[:, None, :, None]
+              * (dxhat - m1[:, None, :, None]
+                 - xhat * m2[:, None, :, None]))
+        dx = dx.reshape(b, h, wd, c).astype(x.dtype)
+        dscale = jnp.sum(dz * xhat, axis=(0, 1)).reshape(c).astype(
+            scale.dtype)
+        dbias = jnp.sum(dz, axis=(0, 1)).reshape(c).astype(bias.dtype)
+
+        # dw: 9 shifted MXU dots against the recomputed activation
+        u = (z * sig).astype(gy.dtype).reshape(b, h, wd, c)
+        upad = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        gy2 = gy.reshape(b * h * wd, co)
+        taps = []
+        for di in range(3):
+            for dj in range(3):
+                us = upad[:, di:di + h, dj:dj + wd, :].reshape(-1, c)
+                taps.append(jax.lax.dot_general(
+                    us, gy2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32))
+        dw = jnp.stack(taps).reshape(3, 3, c, co).astype(w.dtype)
+        dcb = jnp.sum(gy2.astype(f32), axis=0).astype(cb.dtype)
+
+        grads = [dx, dscale, dbias, dw, dcb]
+        if has_eb:
+            grads.append(jnp.sum(gy.astype(f32), axis=(1, 2)).astype(
+                eb.dtype))
+        if has_res:
+            grads.append(gy.astype(res.dtype))
+        if has_stats_in:
+            grads.append(jnp.zeros_like(xs))
+        if has_skip:
+            csk = skx.shape[-1]
+            grads.append(jnp.dot(gy, skw.T.astype(gy.dtype),
+                                 preferred_element_type=gy.dtype
+                                 ).astype(skx.dtype))
+            grads.append(jax.lax.dot_general(
+                skx.reshape(-1, csk), gy2, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(skw.dtype))
+        return tuple(grads)
+
     @jax.custom_vjp
     def f(*args):
         return pallas_impl(*args)
@@ -357,6 +441,9 @@ def _make_fused_gsc(num_groups: int, eps: float, has_eb: bool, has_res: bool,
 
     def bwd(saved, g):
         gy = g[0] if emit_stats else g
+        import os
+        if os.environ.get("FC_BWD", "pallas") == "pallas":
+            return pallas_bwd(saved, gy)
         _, vjp = jax.vjp(xla_impl, *saved)
         grads = list(vjp(gy))
         if has_stats_in:

@@ -391,3 +391,120 @@ class TestUpsampleKernel:
         ref = _conv(up, w) + cb + jnp.dot(skx, skw)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPallasBackward:
+    """The hand-composed Pallas-engine backward of the fused GN+SiLU+conv
+    layer (models/layers.py _make_fused_gsc.pallas_bwd: du via the conv
+    kernel on flipped/io-swapped weights, dw via 9 shifted MXU dots, GN/
+    SiLU chain in fp32 XLA) against the jax.vjp(xla_impl) reference, for
+    every epilogue-flag combination. VERDICT r2 item 6."""
+
+    def _args(self, seed, has_eb, has_res, has_stats, has_skip,
+              b=2, h=16, wd=16, c=32, co=48, csk=16, ng=4):
+        rng = np.random.RandomState(seed)
+        t = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+        args = [t(b, h, wd, c) * 0.7, 1 + 0.1 * t(c), 0.1 * t(c),
+                t(3, 3, c, co) * 0.1, t(co) * 0.1]
+        if has_eb:
+            args.append(t(b, co))
+        if has_res:
+            args.append(t(b, h, wd, co))
+        if has_stats:
+            from img2img_turbo_tpu.ops import fused_conv
+            x = args[0]
+            xr = x.reshape(b, 1, h * wd, c)
+            s1 = jnp.sum(xr, axis=2)
+            s2 = jnp.sum(xr * xr, axis=2)
+            args.append(jnp.stack([s1, s2], axis=2).astype(jnp.float32))
+        if has_skip:
+            args += [t(b, h, wd, csk), t(csk, co) * 0.1]
+        return tuple(args), ng
+
+    @pytest.mark.parametrize("has_eb,has_res,has_stats,has_skip", [
+        (False, False, False, False),
+        (True, True, False, False),
+        (False, True, True, False),
+        (True, False, False, True),
+        (True, True, True, True),
+    ])
+    def test_grad_parity_vs_xla_vjp(self, monkeypatch, has_eb, has_res,
+                                    has_stats, has_skip):
+        from img2img_turbo_tpu.models import layers as L
+        args, ng = self._args(0, has_eb, has_res, has_stats, has_skip)
+        f = L._make_fused_gsc(ng, EPS, has_eb, has_res, has_stats,
+                              False, has_skip=has_skip)
+
+        def loss(*a):
+            y = f(*a)
+            return jnp.sum(y * jnp.cos(y))
+
+        n = len(args)
+        with L.force_fused_scope():
+            with pltpu.force_tpu_interpret_mode():
+                monkeypatch.setenv("FC_BWD", "pallas")
+                g_p = jax.grad(loss, argnums=tuple(range(n)))(*args)
+                monkeypatch.setenv("FC_BWD", "xla")
+                g_x = jax.grad(loss, argnums=tuple(range(n)))(*args)
+        for i, (a, r) in enumerate(zip(g_p, g_x)):
+            a, r = np.asarray(a), np.asarray(r)
+            tol = 1e-4 * max(1.0, np.abs(r).max())
+            np.testing.assert_allclose(a, r, atol=tol, err_msg=f"arg {i}")
+
+    def test_grad_parity_emit_stats_output(self, monkeypatch):
+        """emit_stats variant: the stats output takes no cotangent; y's
+        gradient must be identical to the non-emitting layer's."""
+        from img2img_turbo_tpu.models import layers as L
+        args, ng = self._args(1, True, True, False, False)
+        f = L._make_fused_gsc(ng, EPS, True, True, False, True)
+
+        def loss(*a):
+            y, _stats = f(*a)
+            return jnp.sum(jnp.sin(y))
+
+        n = len(args)
+        with L.force_fused_scope():
+            with pltpu.force_tpu_interpret_mode():
+                monkeypatch.setenv("FC_BWD", "pallas")
+                g_p = jax.grad(loss, argnums=tuple(range(n)))(*args)
+                monkeypatch.setenv("FC_BWD", "xla")
+                g_x = jax.grad(loss, argnums=tuple(range(n)))(*args)
+        for i, (a, r) in enumerate(zip(g_p, g_x)):
+            a, r = np.asarray(a), np.asarray(r)
+            tol = 1e-4 * max(1.0, np.abs(r).max())
+            np.testing.assert_allclose(a, r, atol=tol, err_msg=f"arg {i}")
+
+    def test_resnet_grad_parity_vs_default_path(self, monkeypatch):
+        """Composition-level: one UNet resnet block's gradients (stats
+        chaining conv1->conv2, time-emb extra_bias, conv_shortcut skip
+        fusion) through the fused forward + Pallas backward equal the
+        default XLA path. (A full-UNet interpret-mode grad takes >10 min
+        on the 1-core rig — the block covers every chain the UNet uses.)"""
+        from img2img_turbo_tpu import configs
+        from img2img_turbo_tpu.models import layers as L
+        from img2img_turbo_tpu.models import unet as unet_mod
+        monkeypatch.setenv("FC_BWD", "pallas")
+        cfg = configs.TINY_UNET
+        rng = np.random.RandomState(2)
+        cin, cout = cfg.block_out_channels[0], cfg.block_out_channels[1]
+        p = unet_mod._init_resnet(jax.random.PRNGKey(0), cin, cout,
+                                  cfg.time_embed_dim)
+        x = jnp.asarray(rng.randn(1, 16, 16, cin).astype(np.float32) * 0.4)
+        temb = jnp.asarray(rng.randn(1, cfg.time_embed_dim)
+                           .astype(np.float32) * 0.4)
+
+        def loss(params):
+            y = unet_mod._resnet(params, x, temb, cfg)
+            return jnp.mean(jnp.square(y))
+
+        g_ref = jax.grad(loss)(p)
+        with L.force_fused_scope():
+            with pltpu.force_tpu_interpret_mode():
+                g_fus = jax.grad(loss)(p)
+        flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_f = dict(jax.tree_util.tree_leaves_with_path(g_fus))
+        for path, leaf in flat_r:
+            r, a = np.asarray(leaf), np.asarray(flat_f[path])
+            tol = 2e-4 * max(1.0, np.abs(r).max())
+            np.testing.assert_allclose(
+                a, r, atol=tol, err_msg=jax.tree_util.keystr(path))
