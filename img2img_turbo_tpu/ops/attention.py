@@ -23,6 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from img2img_turbo_tpu.ops.vma import sds as _sds
 
+# Raised Mosaic scoped-VMEM limit for the folded (all-heads-in-one-kernel)
+# flash calls. The default 16MB limit is 248KB short of the folded
+# kernel's footprint at the UNet L0 shape (4096x320, block_k=2048:
+# double-buffered K/V blocks 5.2MB + fp32 score/exp temporaries + padding)
+# — found on-chip in the round-4 tpu_smoke `entry` stage; same remedy as
+# the conv engine's regime S (fused_conv.py _compiler_params).
+_FLASH_VMEM_LIMIT = 32 * 2 ** 20
+_FLASH_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_FLASH_VMEM_LIMIT)
+
 
 def scaled_dot_product_attention(q, k, v):
     """XLA reference attention. q: (B, H, Sq, d), k/v: (B, H, Skv, d)."""
@@ -272,6 +281,7 @@ def flash_attention_folded(q, k, v, num_heads: int, block_q: int = 256,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * num_heads * sq_p * (skv + kv_pad),
         ),
+        compiler_params=_FLASH_PARAMS,
     )(q, k, v)
     if not return_lse:
         out = outs
@@ -428,6 +438,7 @@ def flash_attention_folded_bwd(q, k, v, do, o, lse, num_heads: int,
             flops=6 * b * sq_p * (skv + kv_pad) * d,
             bytes_accessed=3 * b * sq_p * d * q.dtype.itemsize,
             transcendentals=b * num_heads * sq_p * (skv + kv_pad)),
+        compiler_params=_FLASH_PARAMS,
     )(q, k, v, do, lse, delta)
 
     kspec_out = pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, j, 0),
@@ -455,6 +466,7 @@ def flash_attention_folded_bwd(q, k, v, do, o, lse, num_heads: int,
             flops=8 * b * sq_p * (skv + kv_pad) * d,
             bytes_accessed=3 * b * (skv + kv_pad) * d * k.dtype.itemsize,
             transcendentals=b * num_heads * sq_p * (skv + kv_pad)),
+        compiler_params=_FLASH_PARAMS,
     )(q, k, v, do, lse, delta)
 
     if q_pad:

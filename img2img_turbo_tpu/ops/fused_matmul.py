@@ -48,9 +48,12 @@ def _env_mb(name: str, default_mb: float) -> int:
     return int(float(os.environ.get(name, default_mb)) * 2 ** 20)
 
 
-# Swept on v5e alongside the conv engine's regime S (whole-image tiles +
-# streamed weight blocks under a raised Mosaic limit); weight blocks stay
-# bounded so they stream/overlap instead of one serial full-weight DMA.
+# Budget defaults chosen by analogy with the conv engine's regime S
+# (whole-image tiles + streamed weight blocks under a raised Mosaic
+# limit); weight blocks stay bounded so they stream/overlap instead of
+# one serial full-weight DMA. Round 3 shipped these without an on-chip
+# run (the erfc regression); on-chip numbers are journaled per round via
+# scripts/tpu_smoke.py + scripts/bench_fused_matmul.py from round 4 on.
 _W_BLOCK = _env_mb("FM_WBLOCK_MB", 8)
 _TOTAL = _env_mb("FM_TOTAL_MB", 96)
 _VMEM_LIMIT = _env_mb("FM_VMEM_MB", 128)
@@ -58,6 +61,43 @@ _VMEM_LIMIT = _env_mb("FM_VMEM_MB", 128)
 
 def _ceil_to(n: int, k: int) -> int:
     return (n + k - 1) // k * k
+
+
+# Mosaic's TPU lowering has no erf/erfc primitive (round-3 regression:
+# jax.nn.gelu(approximate=False) lowers through erfc and the whole gate
+# kernel fails to compile on the chip — BENCH_r03). This is XLA's own f32
+# rational erf (openxla/xla xla/client/lib/math.cc ErfImpl32: degree-4/
+# degree-6 rational in x^2, input clamped to ±erfinv(1-2^-23)), built from
+# primitives Mosaic does lower (mul/add/div/clamp). Max |err| vs lax.erf
+# is ~1 f32 ulp (tests/test_fused_matmul.py::test_erf_polynomial_parity
+# pins ≤1e-6 abs on [-10, 10]).
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
+             0.0010179625278914885, 0.014070470171167667,
+             0.11098505178285362, 0.49746925110067538, 1.0)
+_ERF_CLAMP = 3.832506856900711
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + jnp.float32(c)
+    return x * p / q
+
+
+def _exact_gelu(y):
+    """torch-exact GELU (diffusers GEGLU uses F.gelu, approximate='none')
+    in f32 via the Mosaic-lowerable erf above. Shared by the kernel body
+    and the `_ref` VJP-recompute path so forward and backward agree
+    bit-for-bit in how the gate is computed."""
+    return 0.5 * y * (1.0 + _erf_f32(y * _INV_SQRT2))
 
 
 def _divisors_desc(n: int):
@@ -126,7 +166,7 @@ def _ref(x, ws, bs, ln, residual, gate: bool, packed: bool, eps: float):
     ys = [jnp.dot(xh.astype(jnp.float32), w.astype(jnp.float32))
           + b.astype(jnp.float32) for w, b in zip(ws, bs)]
     if gate:
-        ys = [ys[0] * jax.nn.gelu(ys[1], approximate=False)]
+        ys = [ys[0] * _exact_gelu(ys[1])]
     outs = []
     for y in ys:
         y = y.astype(x.dtype)
@@ -165,7 +205,7 @@ def _kernel(n_w: int, gate: bool, has_ln: bool, has_res: bool, eps: float,
           + b_ref[...].astype(jnp.float32)
           for w_ref, b_ref in zip(w_refs, b_refs)]
     if gate:
-        ys = [ys[0] * jax.nn.gelu(ys[1], approximate=False)]
+        ys = [ys[0] * _exact_gelu(ys[1])]
     for out_ref, y in zip(out_refs, ys):
         yo = y.astype(out_dtype)
         if res_ref is not None:

@@ -27,6 +27,30 @@ def _check(outs, refs, lead, co, atol):
             np.float32(o.reshape(-1, co)), np.float32(r), atol=atol)
 
 
+class TestErfPolynomial:
+    """The in-kernel Mosaic-lowerable erf (XLA's f32 rational, replacing
+    the erfc-based jax.nn.gelu that failed TPU lowering in round 3)."""
+
+    def test_erf_polynomial_parity(self):
+        x = jnp.asarray(np.linspace(-10.0, 10.0, 40001), jnp.float32)
+        got = np.asarray(fm._erf_f32(x))
+        want = np.asarray(jax.lax.erf(x))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_exact_gelu_parity(self):
+        x = jnp.asarray(np.linspace(-12.0, 12.0, 8001), jnp.float32)
+        got = np.asarray(fm._exact_gelu(x))
+        want = np.asarray(jax.nn.gelu(x, approximate=False))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_exact_gelu_grad_parity(self):
+        x = jnp.asarray(np.linspace(-6.0, 6.0, 2001), jnp.float32)
+        got = np.asarray(jax.vmap(jax.grad(fm._exact_gelu))(x))
+        want = np.asarray(jax.vmap(jax.grad(
+            lambda v: jax.nn.gelu(v, approximate=False)))(x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 class TestKernelParity:
     """Each kernel variant vs _ref, interpret mode."""
 
