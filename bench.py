@@ -107,14 +107,12 @@ def _train_step_device_time() -> float:
     return st["device_span_per_call_s"]
 
 
-def main():
+def _make_engine(dtype):
     from img2img_turbo_tpu.models import unet as unet_mod, vae as vae_mod
     from img2img_turbo_tpu.pipelines.pix2pix import GeneratorConfigs
     from img2img_turbo_tpu.serving.engine import ServingEngine
-    from img2img_turbo_tpu.utils.profiling import device_time_per_call
 
     cfgs = GeneratorConfigs()
-    dtype = jnp.bfloat16
 
     def mk(shapes, c):
         return jax.tree_util.tree_map(
@@ -127,80 +125,118 @@ def main():
     params = {"unet": mk(unet_shapes, 0.001), "vae": mk(vae_shapes, 0.001)}
     engine = ServingEngine(params, cfgs, mode="edge_to_image", dtype=dtype,
                            donate_input=False)
-    ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim), dtype)
+    return engine, cfgs
 
+
+def main():
+    """Crash-proof driver: the round-3 postmortem (BENCH_r03 rc=1, a
+    compile failure in the primary engine losing the whole round's
+    telemetry) mandates that this ALWAYS prints one JSON line. Each metric
+    is individually guarded; the primary retries once with FM_DISABLE=1
+    (transformer-glue kernels off, conv engine kept) so a broken matmul
+    kernel degrades the number instead of erasing it. `fused_mode` records
+    which engine config produced the primary; `errors` records what broke.
+    """
+    from img2img_turbo_tpu.utils.profiling import device_time_per_call
+
+    dtype = jnp.bfloat16
+    errors = []
+    result = {
+        "metric": "pix2pix_turbo_512_e2e_device_p50_latency",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "wall_p50_s": None, "rig_fetch_overhead_s": None,
+        "throughput_b8_img_per_s": None,
+        "e2e_840x560_device_p50_s": None,
+        "train_step_512_b1_device_s": None,
+        "fused_mode": None,
+        "device": str(jax.devices()[0]), "dtype": "bfloat16",
+    }
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (1, 512, 512, 3)).astype(np.uint8))
 
     # rig fetch-overhead calibration: no-op + host fetch round trip
-    noop = jax.jit(lambda x: x[0, 0, 0, :1] + 1)
-    _ = np.asarray(noop(img))
-    fetch_ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
+    try:
+        noop = jax.jit(lambda x: x[0, 0, 0, :1] + 1)
         _ = np.asarray(noop(img))
-        fetch_ts.append(time.perf_counter() - t0)
-    fetch_overhead = float(np.percentile(fetch_ts, 50))
-
-    # device-time latency (profiler device-track span per call)
-    dev = device_time_per_call(lambda im, c: engine(im, c), (img, ctx),
-                               iters=10)
-    device_p50 = dev.get("device_span_per_call_s", float("nan"))
-
-    # wall-clock with full uint8 image fetched to host (includes the tunnel)
-    _ = np.asarray(engine(img, ctx))
-    wall_ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        _ = np.asarray(engine(img, ctx))
-        wall_ts.append(time.perf_counter() - t0)
-    wall_p50 = float(np.percentile(wall_ts, 50))
-
-    # batched throughput (batch 8), device-time basis
-    imgs8 = jnp.asarray(rng.randint(0, 255, (8, 512, 512, 3))
-                        .astype(np.uint8))
-    ctx8 = jnp.zeros((8, 77, cfgs.unet.cross_attention_dim), dtype)
-    dev8 = device_time_per_call(lambda im, c: engine(im, c), (imgs8, ctx8),
-                                iters=5)
-    batch8_span = dev8.get("device_span_per_call_s", float("nan"))
-    throughput = 8.0 / batch8_span if batch8_span == batch8_span else None
-
-    # odd-size e2e: the reference's flagship bird.png serving shape after
-    # its x8 crop (840x560) — pins the non-2^k-width kernel path
-    # (VERDICT r2 item 3). Guarded: the primary metric must never die on
-    # a secondary config.
-    try:
-        img_odd = jnp.asarray(rng.randint(0, 255, (1, 560, 840, 3))
-                              .astype(np.uint8))
-        dev_odd = device_time_per_call(lambda im, c: engine(im, c),
-                                       (img_odd, ctx), iters=10)
-        e2e_840x560 = round(dev_odd["device_span_per_call_s"], 5)
+        fetch_ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            _ = np.asarray(noop(img))
+            fetch_ts.append(time.perf_counter() - t0)
+        result["rig_fetch_overhead_s"] = round(
+            float(np.percentile(fetch_ts, 50)), 5)
     except Exception as e:  # pragma: no cover - bench robustness
-        print(f"840x560 bench failed: {e!r}", file=sys.stderr)
-        e2e_840x560 = None
+        errors.append(f"fetch_calibration: {e!r}"[:400])
 
-    # paired LoRA fine-tuning step, 512^2 b1 (VERDICT r2 item 6: the
-    # Pallas-fwd/XLA-bwd training graph, journaled every round)
+    engine = cfgs = None
+    modes = [("fused", None), ("fm_off", "1")]
+    if os.environ.get("FM_DISABLE") == "1":  # explicit A/B run
+        modes = [("fm_off", "1")]
+    for mode_name, fm_env in modes:
+        try:
+            if fm_env is None:
+                os.environ.pop("FM_DISABLE", None)
+            else:
+                os.environ["FM_DISABLE"] = fm_env
+            engine, cfgs = _make_engine(dtype)
+            ctx = jnp.zeros((1, 77, cfgs.unet.cross_attention_dim), dtype)
+            dev = device_time_per_call(lambda im, c: engine(im, c),
+                                       (img, ctx), iters=10)
+            device_p50 = dev["device_span_per_call_s"]
+            result["value"] = round(device_p50, 5)
+            result["vs_baseline"] = round(BASELINE_A100_S / device_p50, 3)
+            result["fused_mode"] = mode_name
+            break
+        except Exception as e:  # pragma: no cover - bench robustness
+            errors.append(f"primary({mode_name}): {e!r}"[:400])
+            engine = None
+    if engine is not None:
+        # wall-clock with the full uint8 image fetched to host (tunnel incl.)
+        try:
+            _ = np.asarray(engine(img, ctx))
+            wall_ts = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                _ = np.asarray(engine(img, ctx))
+                wall_ts.append(time.perf_counter() - t0)
+            result["wall_p50_s"] = round(float(np.percentile(wall_ts, 50)), 5)
+        except Exception as e:  # pragma: no cover - bench robustness
+            errors.append(f"wall: {e!r}"[:400])
+
+        # batched throughput (batch 8), device-time basis
+        try:
+            imgs8 = jnp.asarray(rng.randint(0, 255, (8, 512, 512, 3))
+                                .astype(np.uint8))
+            ctx8 = jnp.zeros((8, 77, cfgs.unet.cross_attention_dim), dtype)
+            dev8 = device_time_per_call(lambda im, c: engine(im, c),
+                                        (imgs8, ctx8), iters=5)
+            result["throughput_b8_img_per_s"] = round(
+                8.0 / dev8["device_span_per_call_s"], 2)
+        except Exception as e:  # pragma: no cover - bench robustness
+            errors.append(f"batch8: {e!r}"[:400])
+
+        # odd-size e2e: the reference's flagship bird.png serving shape
+        # after its x8 crop (840x560) — pins the non-2^k-width kernel path
+        try:
+            img_odd = jnp.asarray(rng.randint(0, 255, (1, 560, 840, 3))
+                                  .astype(np.uint8))
+            dev_odd = device_time_per_call(lambda im, c: engine(im, c),
+                                           (img_odd, ctx), iters=10)
+            result["e2e_840x560_device_p50_s"] = round(
+                dev_odd["device_span_per_call_s"], 5)
+        except Exception as e:  # pragma: no cover - bench robustness
+            errors.append(f"840x560: {e!r}"[:400])
+
+    # paired LoRA fine-tuning step, 512^2 b1 (the Pallas-fwd training graph)
     try:
-        train_step_s = round(_train_step_device_time(), 5)
+        result["train_step_512_b1_device_s"] = round(
+            _train_step_device_time(), 5)
     except Exception as e:  # pragma: no cover - bench robustness
-        print(f"train-step bench failed: {e!r}", file=sys.stderr)
-        train_step_s = None
+        errors.append(f"train_step: {e!r}"[:400])
 
-    print(json.dumps({
-        "metric": "pix2pix_turbo_512_e2e_device_p50_latency",
-        "value": round(device_p50, 5),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_A100_S / device_p50, 3),
-        "wall_p50_s": round(wall_p50, 5),
-        "rig_fetch_overhead_s": round(fetch_overhead, 5),
-        "throughput_b8_img_per_s": (round(throughput, 2)
-                                    if throughput else None),
-        "e2e_840x560_device_p50_s": e2e_840x560,
-        "train_step_512_b1_device_s": train_step_s,
-        "device": str(jax.devices()[0]),
-        "dtype": "bfloat16",
-    }))
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
