@@ -209,3 +209,38 @@ class TestCycleGAN:
     def test_named_models_table(self):
         assert cg.NAMED_MODELS["day_to_night"][1] == "driving in the night"
         assert cg.NAMED_MODELS["night_to_day"][2] == "b2a"
+
+
+class TestAcceptParityHarness:
+    """The LPIPS acceptance CLI (cli/accept_parity.py) plumbing — so the
+    day sd-turbo weights + a reference pkl are available, the real
+    acceptance run is one already-verified command (BASELINE.md LPIPS
+    ≤0.05 vs /root/reference/README.md:111-126)."""
+
+    def _run(self, extra):
+        import cli.accept_parity as ap
+        args = ap.build_parser().parse_args(["--tiny_random"] + extra)
+        return ap.main(args)
+
+    def test_deterministic_plumbing(self, capsys):
+        import json
+        res = self._run([])
+        assert set(res) >= {"lpips", "threshold", "pass", "mode",
+                            "plumbing_only"}
+        assert res["plumbing_only"] is True
+        assert res["mode"] == "deterministic"
+        assert np.isfinite(res["lpips"])
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert json.loads(line)["threshold"] == 0.05
+
+    def test_stochastic_plumbing(self):
+        res = self._run(["--stochastic", "--gamma", "0.4"])
+        assert res["mode"] == "stochastic"
+        assert np.isfinite(res["lpips"])
+
+    def test_real_mode_requires_all_flags(self):
+        import cli.accept_parity as ap
+        args = ap.build_parser().parse_args(
+            ["--sd_turbo_path", "/nonexistent"])
+        with pytest.raises(SystemExit):
+            ap.main(args)
