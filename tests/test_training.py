@@ -326,6 +326,48 @@ class TestLossComponents:
         assert d["heads"]["final"]["lin1"]["kernel"].shape == (
             cfg.projection_dim, discriminator.HEAD_CHANNELS)
 
+    def test_disc_head_goldens_vit_b32(self):
+        """Full-scale golden layer table for the trainable heads, pinned
+        against vision_aided_loss's published source (the package is not
+        installable here — zero egress — so the table below is transcribed
+        from github.com/nupurkmr9/vision-aided-gan
+        vision_aided_loss/cv_discriminator.py `MultiLevelDViT.__init__`:
+        level-1 spatial decoders of
+          spectral_norm(Conv2d(in_ch1=768, out_ch=256, k=3, s=2, p=1))
+          -> LeakyReLU(0.2) -> spectral_norm(Conv2d(256, num_classes=1, k=1))
+        plus a final
+          spectral_norm(Linear(in_ch2=512, 256)) -> LeakyReLU(0.2)
+          -> spectral_norm(Linear(256, 1));
+        CLIP taps per its cvmodel `forward` hooks at blocks n//3 and 2n//3
+        of the ViT-B/32 tower). A silent head-shape drift fails here."""
+        cfg = clip_vit.CLIP_VIT_B32
+        shapes = jax.eval_shape(
+            lambda k: discriminator.init_discriminator(k, cfg),
+            jax.random.PRNGKey(0))
+        heads = shapes["heads"]
+        assert len(heads["spatial"]) == 2
+        for lvl in heads["spatial"]:
+            assert lvl["conv1"]["kernel"].shape == (3, 3, 768, 256)
+            assert lvl["conv1"]["bias"].shape == (256,)
+            assert lvl["conv2"]["kernel"].shape == (1, 1, 256, 1)
+            assert lvl["conv2"]["bias"].shape == (1,)
+        assert heads["final"]["lin1"]["kernel"].shape == (512, 256)
+        assert heads["final"]["lin1"]["bias"].shape == (256,)
+        assert heads["final"]["lin2"]["kernel"].shape == (256, 1)
+        assert heads["final"]["lin2"]["bias"].shape == (1,)
+        n_params = sum(int(np.prod(l.shape)) for l in
+                       jax.tree_util.tree_leaves(heads))
+        # 2*(3*3*768*256 + 256 + 256*1 + 1) + (512*256 + 256) + (256*1 + 1)
+        assert n_params == 3_671_555, n_params
+        # tap placement: blocks 4 and 8 of the 12-layer tower
+        assert discriminator.tap_indices(cfg) == (4, 8)
+        # sn `u` vectors: one per spectrally-normalized module, sized by
+        # the torch weight-matrix leading dim (out features)
+        assert shapes["sn"]["spatial"][0]["conv1"].shape == (256,)
+        assert shapes["sn"]["spatial"][0]["conv2"].shape == (1,)
+        assert shapes["sn"]["final"]["lin1"].shape == (256,)
+        assert shapes["sn"]["final"]["lin2"].shape == (1,)
+
     def test_disc_backbone_gets_no_grads(self):
         cfg = clip_vit.TINY_CLIP_VIT
         d = discriminator.init_discriminator(jax.random.PRNGKey(0), cfg)
