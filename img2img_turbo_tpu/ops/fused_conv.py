@@ -325,7 +325,9 @@ def _prologue_fold(xbuf, a_ref, b_ref, *, m, P, h_real, tw, cin, normalize,
     ([gap, rows, gap]); xbuf covers tile rows -1..th (th = m*P). All gap /
     halo rows are memset to zero (they ARE the SAME-padding), and each
     image's real rows are normalized with ITS (a, b) row — a_ref/b_ref are
-    the tile's (m, C) blocks. Segment offsets are static (m is a Python
+    the tile's (m, 1, C) blocks (the singleton keeps Mosaic's last-two-dims
+    block rule satisfied for any fold_m; a_ref[u] is (1, C) and broadcasts
+    over the chunk rows). Segment offsets are static (m is a Python
     int), so no dynamic row->image gather is needed."""
     dt = xbuf.dtype
     th = m * P
@@ -503,10 +505,10 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             # eb is carried fp32: a dynamic sublane index into packed bf16
             # (2 rows/register) is unprovable for Mosaic; fp32 is exact
             if fold is not None:
-                # (m, tco) block: each folded image adds ITS row
+                # (m, 1, tco) block: each folded image adds ITS row
                 m, P, _ = fold
                 acc = (acc.reshape(m, P * tw, tco)
-                       + eb_ref[...][:, None, :]).reshape(th * tw, tco)
+                       + eb_ref[...]).reshape(th * tw, tco)
             else:
                 acc = acc + eb_ref[pl.program_id(0)]
         if sk_ref is not None:
@@ -665,9 +667,18 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
             skip_x = fold_rows(skip_x)
         grid = (1, bsz // fold_m, co // tco)
         gb, gnh = 1, bsz // fold_m
-        ab_spec = pl.BlockSpec((fold_m, c), lambda bb, i, j: (i, 0),
+        # Mosaic's block rule constrains the LAST TWO dims only (divisible
+        # by (8, 128) or equal to the array dims). A (fold_m, C) block on
+        # the (B, C) affine violates it whenever fold_m is neither
+        # 8-divisible nor == B (e.g. b8 VAE 64^2x512 picks fold_m=2 —
+        # BENCH r4 run1 crash; the b4 smoke case passed only because
+        # fold_m == B there). Ride a singleton middle dim instead: blocks
+        # become (fold_m, 1, C) so the constrained dims are (1, C).
+        a2 = a2[:, None]
+        b2 = b2[:, None]
+        ab_spec = pl.BlockSpec((fold_m, 1, c), lambda bb, i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-        eb_spec = pl.BlockSpec((fold_m, tco), lambda bb, i, j: (i, j),
+        eb_spec = pl.BlockSpec((fold_m, 1, tco), lambda bb, i, j: (i, 0, j),
                                memory_space=pltpu.VMEM)
         out_rows = bsz * P
         stats_shape = (bsz, 1, 2, co)
@@ -700,7 +711,8 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     args = [a2, b2, w, bias2]
     if extra_bias is not None:
         in_specs.append(eb_spec)
-        args.append(extra_bias.astype(jnp.float32))
+        eb2 = extra_bias.astype(jnp.float32)
+        args.append(eb2[:, None] if fold is not None else eb2)
     if residual is not None:
         in_specs.append(pl.BlockSpec((1, th, wp, tco),
                                      lambda bb, i, j: (bb, i, 0, j),

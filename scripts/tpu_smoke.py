@@ -136,6 +136,20 @@ def stage_conv():
     b4 = jnp.zeros((4, 128), jnp.float32)
     y4 = fc.fused_gn_silu_conv3x3(x4, w, b, a=a4, b=b4)
     ok("gn_silu_conv_folded_b4", y4[0])
+    # folded batch with fold_m < B (and < 8): the Mosaic block rule only
+    # allows such a sublane block via the singleton-dim affine specs —
+    # the b4 case above has fold_m == B and cannot catch a regression
+    # there (BENCH r4 run1: b8 VAE 64^2x512 picks fold_m=2 and crashed).
+    # extra_bias rides along to cover the (fold_m, 1, TCo) eb spec too.
+    w8, b8_ = t(3, 3, 512, 512, scale=0.02), t(512, scale=0.1)
+    x8 = t(8, 64, 64, 512)
+    a8 = jnp.ones((8, 512), jnp.float32)
+    b8b = jnp.zeros((8, 512), jnp.float32)
+    eb8 = t(8, 512, scale=0.1).astype(jnp.float32)
+    assert fc._pick_tiles(64, 64, 512, 512, 2, bsz=8)[4] not in (0, 8), \
+        "shape no longer picks a fold_m < 8 — pick another smoke shape"
+    y8 = fc.fused_gn_silu_conv3x3(x8, w8, b8_, a=a8, b=b8b, extra_bias=eb8)
+    ok("gn_silu_conv_folded_b8_m2", y8[0])
     # stride-2 downsample
     yd = fc.downsample2x_conv3x3(x1, w, b)
     ok("downsample2x", yd[0])
