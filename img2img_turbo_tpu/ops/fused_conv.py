@@ -42,37 +42,52 @@ def _env_mb(name: str, default_mb: float) -> int:
 
 
 # VMEM budgets — TWO REGIMES, swept per-shape on the real v5e chip
-# (scripts/sweep_fused_budgets.py; numbers in CLAUDE.md):
+# (scripts/sweep_fused_budgets.py; round-4 re-sweep journaled in
+# docs/perf_journal.md):
 #
 # Regime L (large-spatial, e.g. the VAE's 128^2..512^2 levels): the
-# round-2 tuned small-tile budgets under the default 16MB scoped limit.
-# Small tiles keep the DMA-prefetch double buffer affordable, which wins
-# on these bandwidth-heavy shapes (512^2x128: 109 TF/s vs 69 at big
-# tiles).
+# largest DOUBLE-buffered tile whose per-copy halo buffer stays <= ~8MB
+# (XBUF/2), under the raised Mosaic limit. Round-4 on-chip findings
+# (docs/perf_journal.md): 512^2x128 th=8/nbuf=1 -> th=16/nbuf=2 is 824 ->
+# 736 us b1 / 6586 -> 5850 us b8; 128^2x512 th=16 is 493 us (was ~700
+# in-graph). Tiles past EITHER ~8K fp32 accumulator rows (512^2x128
+# th=32: 1119 us) or ~13MB per-copy xbuf (512^2x256 th=16: 2273 vs 1511
+# at th=8; 128^2x512 th=32: 989 vs 493 at th=16) fall off a ~2x cliff —
+# hence both the _M_ROWS cap and the 16MB XBUF default.
 #
 # Regime S (small-spatial: whole image + halo fits _S_XBUF): one spatial
 # tile per image with weight blocks streamed over a raised Mosaic
 # vmem_limit — removes the per-tile fixed costs that dominated small
-# UNet shapes (64^2x512: 62 -> 130 TF/s; 16^2x1280: 22 -> 89 TF/s).
-# Weight blocks stay <= _S_WBLOCK so they stream/overlap instead of one
-# serial full-weight DMA (16^2x1280: tco=256 at 85us beat tco=1280 at
-# 93us). Batched (bsz > 1) calls only take S when L's tiles are already
-# whole-image — otherwise L's cross-tile prefetch pipeline wins (b8
-# 64^2x512: 1026us L vs 1102us S).
-_XBUF_BUDGET = _env_mb("FC_XBUF_MB", 6)    # L: 3 column-shift halo'd copies
-_W_BUDGET = _env_mb("FC_W_MB", 5)          # L: weight block (double-buffered)
-_TOTAL_BUDGET = _env_mb("FC_TOTAL_MB", 13)  # L: joint cap incl. headroom
+# UNet shapes (round-2 sweep: 64^2x512: 62 -> 130 TF/s; 16^2x1280:
+# 22 -> 89 TF/s). Weight blocks stay <= _S_WBLOCK so they stream/overlap
+# instead of one serial full-weight DMA (16^2x1280: tco=256 at 85us beat
+# tco=1280 at 93us). Batched (bsz > 1) calls only take S when L's tiles
+# are already whole-image — otherwise L's cross-tile prefetch pipeline
+# wins (b8 64^2x512: 1026us L vs 1102us S).
+_XBUF_BUDGET = _env_mb("FC_XBUF_MB", 16)   # L: 3 column-shift halo'd copies
+_W_BUDGET = _env_mb("FC_W_MB", 8)          # L: weight block (double-buffered)
+_TOTAL_BUDGET = _env_mb("FC_TOTAL_MB", 48)  # L: joint cap incl. headroom
 _S_XBUF = _env_mb("FC_S_XBUF_MB", 32)      # S: whole-image 3-copy buffer cap
 _S_WBLOCK = _env_mb("FC_S_WBLOCK_MB", 8)   # S: streamable weight block cap
 _S_TOTAL = _env_mb("FC_S_TOTAL_MB", 110)   # S: joint cap (128MB physical)
-_VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # S: Mosaic vmem_limit_bytes
+_VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # Mosaic vmem_limit_bytes
+# fp32 accumulator row cap (th*tw): the round-4 on-chip sweep found tile
+# time degrades sharply past ~8K accumulator rows (512^2x128: th=16 at
+# 736us vs th=32 at 1119us — the (th*tw, tco) fp32 accumulator outgrows
+# what Mosaic can keep register/VMEM-local across the 9 tap dots), while
+# per-tile fixed costs argue for the LARGEST th under the cap (512^2
+# 256ch entry: th=8 left ~400us of per-tile overhead on the table).
+_M_ROWS = int(os.environ.get("FC_MROWS", 8192))
 
 
 def _compiler_params(big: bool):
-    """Regime S raises the Mosaic VMEM limit; regime L keeps the default
-    (the round-2 configuration, measured best for large-spatial tiles)."""
-    if not big:
-        return {}
+    """All regimes raise the Mosaic scoped-VMEM limit: v5e has 128MB
+    physical VMEM and regime S has run under the raised limit since round
+    2 — the 16MB default only ever capped regime L's tile picks (round-2's
+    tiny-tile configuration was tuned under it; the round-4 re-sweep under
+    the raised limit picks larger double-buffered tiles, see the budget
+    defaults above). The flag only records which budget family picked."""
+    del big
     return {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT)}
 
@@ -126,8 +141,11 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
         return prologue + 2 * wbytes + acc + io
 
     def pick_l():
-        # round-2 tuned verbatim: tco=128 when co is 128-divisible (larger
-        # tiles gave no speedup at these budgets), else full co
+        # tco=128 when co is 128-divisible (larger output tiles gave no
+        # speedup), else full co. Tile policy: the LARGEST double-buffered
+        # th wins — the round-4 on-chip sweep showed the serial-DMA loss of
+        # nbuf=1 tiles outweighs tile size at every profiled decoder shape
+        # (the round-2 tiny-tile budgets never had room for both).
         if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
             tco = 128
         elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
@@ -135,13 +153,22 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
         else:
             return None, None, 1, False, 0
         wbytes = 9 * c * tco * itemsize
-        for th in _divisors_desc(h):
-            xbuf = 3 * (th + 2) * w * c * itemsize
-            rest = rest_bytes(th, tco, wbytes)
-            if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
-                nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
-                             and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
-                return th, tco, nbuf, False, 0
+        for cap in (_M_ROWS, None):
+            for th in _divisors_desc(h):
+                if cap is not None and th * w > cap:
+                    continue
+                xbuf = 3 * (th + 2) * w * c * itemsize
+                rest = rest_bytes(th, tco, wbytes)
+                if 2 * xbuf <= _XBUF_BUDGET \
+                        and 2 * xbuf + rest <= _TOTAL_BUDGET:
+                    return th, tco, 2, False, 0
+            for th in _divisors_desc(h):
+                if cap is not None and th * w > cap:
+                    continue
+                xbuf = 3 * (th + 2) * w * c * itemsize
+                rest = rest_bytes(th, tco, wbytes)
+                if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+                    return th, tco, 1, False, 0
         return None, None, 1, False, 0
 
     # regime F: multi-image folded tiles (only a win for m >= 2)
@@ -260,7 +287,7 @@ def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
     return th is not None and h >= 2
 
 
-_CHUNK_BYTES = 1024 * 1024  # fp32 prologue working-set bound (per temp)
+_CHUNK_BYTES = _env_mb("FC_CHUNK_MB", 1)  # fp32 prologue bound (per temp)
 
 
 def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
@@ -813,13 +840,23 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int,
         else:
             return None, None, 1, False
         wbytes = 9 * c * tco * itemsize
-        for th in _divisors_desc(hout):
-            raw, rest = bufs(th, tco, wbytes)
-            phases = 3 * (th + 1) * w * c * itemsize
-            if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
-                    raw + rest <= _TOTAL_BUDGET:
-                nbuf = 2 if 2 * raw + rest <= _TOTAL_BUDGET else 1
-                return th, tco, nbuf, False
+        for cap in (_M_ROWS, None):
+            for th in _divisors_desc(hout):
+                if cap is not None and th * (w // 2) > cap:
+                    continue
+                raw, rest = bufs(th, tco, wbytes)
+                phases = 3 * (th + 1) * w * c * itemsize
+                if 2 * raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
+                        2 * raw + rest <= _TOTAL_BUDGET:
+                    return th, tco, 2, False
+            for th in _divisors_desc(hout):
+                if cap is not None and th * (w // 2) > cap:
+                    continue
+                raw, rest = bufs(th, tco, wbytes)
+                phases = 3 * (th + 1) * w * c * itemsize
+                if raw + phases <= _XBUF_BUDGET + 2 * 2 ** 20 and \
+                        raw + rest <= _TOTAL_BUDGET:
+                    return th, tco, 1, False
         return None, None, 1, False
 
     raw_s = (2 * hout + 2) * w * c * itemsize
@@ -1143,13 +1180,22 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
         else:
             return None, None, 1, False
         wbytes = 16 * c * tco * itemsize
-        for th in _divisors_desc(h):
-            xbuf = 3 * (th + 2) * w * c * itemsize
-            rest = rest_bytes(th, tco, wbytes)
-            if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
-                nbuf = 2 if (2 * xbuf <= _XBUF_BUDGET
-                             and 2 * xbuf + rest <= _TOTAL_BUDGET) else 1
-                return th, tco, nbuf, False
+        for cap in (_M_ROWS, None):
+            for th in _divisors_desc(h):
+                if cap is not None and th * w > cap:
+                    continue
+                xbuf = 3 * (th + 2) * w * c * itemsize
+                rest = rest_bytes(th, tco, wbytes)
+                if 2 * xbuf <= _XBUF_BUDGET \
+                        and 2 * xbuf + rest <= _TOTAL_BUDGET:
+                    return th, tco, 2, False
+            for th in _divisors_desc(h):
+                if cap is not None and th * w > cap:
+                    continue
+                xbuf = 3 * (th + 2) * w * c * itemsize
+                rest = rest_bytes(th, tco, wbytes)
+                if xbuf <= _XBUF_BUDGET and xbuf + rest <= _TOTAL_BUDGET:
+                    return th, tco, 1, False
         return None, None, 1, False
 
     xbuf_s = 3 * (h + 2) * w * c * itemsize

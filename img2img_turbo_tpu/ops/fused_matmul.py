@@ -117,13 +117,20 @@ def _plan(m: int, c: int, co: int, n_w: int, n_out: int, itemsize: int,
     else:
         tcos = [128 * k for k in _divisors_desc(co // 128)]
     m_pad = _ceil_to(m, 16)
+    # Row-tile preference: a single grid cell (tm == m_pad) serializes
+    # every DMA (x in, weights in, outputs out) with the matmuls and the
+    # gate epilogue — Mosaic only pipelines grid-blocked operands across
+    # grid steps. Target >=4 row steps for long sequences so x/out blocks
+    # stream double-buffered under the compute (b8 L0 geglu: 32768 rows in
+    # one cell ran at ~40% of MXU peak; see docs/perf_journal.md r4).
+    max_tm = m_pad if m_pad <= 512 else max(512, min(2048, m_pad // 4))
+    tms = [t for t in _divisors_desc(m_pad) if t % 16 == 0]
+    tms = [t for t in tms if t <= max_tm] + [t for t in tms if t > max_tm]
     for tco in tcos:
         wbytes = c * tco * itemsize
         if wbytes > _W_BLOCK:
             continue
-        for tm in _divisors_desc(m_pad):
-            if tm % 16:
-                continue
+        for tm in tms:
             total = 2 * tm * c * itemsize          # x, double-buffered
             if has_ln:
                 total += tm * c * 4 + 2 * 2 * c * 4  # fp32 temp + scale/bias

@@ -38,6 +38,10 @@ SHAPES = [
     (8, 32, 32, 640, 640, True, True),      # b8 UNet level 1
     (8, 8, 8, 1280, 1280, True, True),      # b8 UNet mid
     (8, 64, 64, 320, 320, True, True),      # b8 UNet level 0
+    (8, 128, 128, 512, 512, False, True),   # b8 VAE dec up1
+    (8, 256, 256, 256, 256, False, True),   # b8 VAE dec up2
+    (8, 512, 512, 128, 128, False, True),   # b8 VAE dec up3
+    (8, 512, 512, 256, 128, False, False),  # b8 VAE dec up3 entry
 ]
 
 NG, EPS = 32, 1e-6

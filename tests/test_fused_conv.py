@@ -338,8 +338,9 @@ class TestDownsampleKernel:
     def test_multi_tile_and_prefetch(self):
         """A shape whose pick gives nh > 1 (halo DMA + per-tile phase
         rebuild); prefetch nbuf follows the picker."""
-        B, H, W, C, Co = 2, 128, 16, 512, 512
-        # bsz=2 keeps the picker in regime L (multi-tile + prefetch path)
+        B, H, W, C, Co = 2, 512, 64, 512, 512
+        # bsz=2 keeps the picker in regime L; H is large enough that even
+        # the round-4 raised budgets tile the output rows (nh > 1)
         th, tco, nbuf, _ = fc._pick_tiles_down(H // 2, W, C, Co, 4, bsz=B)
         assert th is not None and (H // 2) // th > 1, (th, nbuf)
         x, w = _data(23, (B, H, W, C), (3, 3, C, Co))
@@ -374,8 +375,9 @@ class TestUpsampleKernel:
     def test_skip_fusion_and_multi_tile(self):
         """Epilogue 1x1 skip at output resolution + nh > 1 halo path
         (the VAE skip-decoder configuration)."""
-        B, H, W, C, Co, Csk = 2, 64, 16, 256, 128, 128
-        # bsz=2 keeps the picker in regime L (multi-tile halo path)
+        B, H, W, C, Co, Csk = 2, 512, 32, 256, 128, 128
+        # bsz=2 keeps the picker in regime L; H is large enough that even
+        # the round-4 raised budgets tile the rows (nh > 1 halo path)
         th, tco, nbuf, _ = fc._pick_tiles_up(H, W, C, Co, 4, skip_c=Csk,
                                              bsz=B)
         assert th is not None and H // th > 1, (th, nbuf)
