@@ -78,6 +78,19 @@ _VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # Mosaic vmem_limit_bytes
 # per-tile fixed costs argue for the LARGEST th under the cap (512^2
 # 256ch entry: th=8 left ~400us of per-tile overhead on the table).
 _M_ROWS = int(os.environ.get("FC_MROWS", 8192))
+# Interleaved prologue/matmul (stride-1 kernel, non-fold): at j==0 the
+# tile's VPU prologue chunks are emitted BETWEEN the output-row-chunk
+# matmuls in one straight-line block (2-chunk lookahead), so Mosaic's
+# scheduler can hide the ~250us/tile of normalize+shift VPU work under
+# the MXU dots. A deferred-prologue variant in a separate pl.when tail
+# measured 2x SLOWER (when-regions are scheduling barriers — journal
+# 2026-08-19); the interleave must stay inside the block. A/B: FC_ILV=0.
+_ILV = os.environ.get("FC_ILV", "1") == "1"
+# Min M rows per interleaved dot: prologue-sized chunks gave M=512/1024
+# dots at W=128/256, 2x slower than no interleave (journal 2026-08-19);
+# compute chunks are therefore sized to >= _ILV_M rows independently of
+# the prologue chunking.
+_ILV_M = int(os.environ.get("FC_ILV_M", 2048))
 
 
 def _compiler_params(big: bool):
@@ -290,60 +303,75 @@ def supported(x_shape, co: int, itemsize: int = 2, skip_c: int = 0) -> bool:
 _CHUNK_BYTES = _env_mb("FC_CHUNK_MB", 1)  # fp32 prologue bound (per temp)
 
 
+def _chunk_rows(tw: int, cin: int, cap: int) -> int:
+    """Prologue chunk height: whole image rows bounding the fp32
+    temporaries at ~_CHUNK_BYTES (the hardware rotate is 32-bit-only, so
+    chunks are processed in fp32 registers before casting back)."""
+    return max(1, min(cap, _CHUNK_BYTES // (4 * tw * cin)))
+
+
+def _prologue_chunk(xbuf, a_ref, b_ref, k0, kn, *, th, tw, cin, normalize,
+                    act, mask_h=None, mask_w=None):
+    """Normalize(+SiLU) xbuf rows [k0, k0+kn) and write their column-shift
+    copies. k0/kn are STATIC. The flat-roll cross-row wraps (including at
+    chunk boundaries) land on col==0 / col==tw-1 positions, which are
+    masked to the SAME-padding zero anyway.
+
+    mask_h/mask_w (true H/W when the wrapper spatially padded): zero-pad
+    rows/cols must stay ZERO post-normalize (silu(0*a + b) != 0 would bleed
+    into the true region's edge taps)."""
+    i = pl.program_id(1)
+    nh = pl.num_programs(1)
+    dt = xbuf.dtype
+    rc = kn * tw
+    xn = xbuf[1, pl.ds(k0, kn)].reshape(rc, cin).astype(jnp.float32)
+    if normalize:
+        bi2 = pl.program_id(0)
+        xn = xn * a_ref[bi2] + b_ref[bi2]
+        if act == "silu":
+            xn = xn * jax.nn.sigmoid(xn)
+    # image-boundary halo rows must stay ZERO post-activation
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+    col = jax.lax.rem(rows, tw)
+    if k0 == 0:
+        xn = jnp.where(jnp.logical_or(rows >= tw, i > 0), xn, 0.0)
+    if k0 + kn == th + 2:
+        xn = jnp.where(jnp.logical_or(rows < rc - tw, i < nh - 1),
+                       xn, 0.0)
+    if mask_h is not None:
+        # global input row of flat row r: i*th - 1 + k0 + r // tw
+        gr = i * th - 1 + k0 + rows // tw
+        xn = jnp.where(gr < mask_h, xn, 0.0)
+    if mask_w is not None:
+        xn = jnp.where(col < mask_w, xn, 0.0)
+    xbuf[1, pl.ds(k0, kn)] = xn.astype(dt).reshape(kn, tw, cin)
+    # column tap dj=0 reads x[.., oj-1]: shift flat rows down by 1; the
+    # first column of each image row has no left neighbor -> zero
+    left = jnp.where(col == 0, 0.0, pltpu.roll(xn, 1, 0))
+    xbuf[0, pl.ds(k0, kn)] = left.astype(dt).reshape(kn, tw, cin)
+    right = jnp.where(col == tw - 1, 0.0, pltpu.roll(xn, rc - 1, 0))
+    xbuf[2, pl.ds(k0, kn)] = right.astype(dt).reshape(kn, tw, cin)
+
+
 def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
               mask_h=None, mask_w=None):
     """Normalize(+SiLU) the loaded tile and build its column-shift copies.
 
-    Processed in chunks of whole image rows so the fp32 temporaries (the
-    hardware rotate is 32-bit-only) stay bounded (~_CHUNK_BYTES) instead of
-    scaling with the tile — which would otherwise dominate the kernel's
-    scoped-vmem stack and force tiny tiles. The flat-roll cross-row wraps
-    (including at chunk boundaries) land on col==0 / col==tw-1 positions,
-    which are masked to the SAME-padding zero anyway.
+    Processed in chunks of whole image rows so the fp32 temporaries stay
+    bounded (~_CHUNK_BYTES) instead of scaling with the tile — which would
+    otherwise dominate the kernel's scoped-vmem stack and force tiny tiles.
 
     (A DMA-engine variant — left/right copies as VMEM->VMEM shifted
     copies overlapped with the center matmuls — is ILLEGAL on this
     hardware: Mosaic rejects sublane-offset memref slices, the W dim is
     sublane-tiled (8,128). The rotates must stay on the VPU.)
-
-    mask_h/mask_w (true H/W when the wrapper spatially padded): zero-pad
-    rows/cols must stay ZERO post-normalize (silu(0*a + b) != 0 would bleed
-    into the true region's edge taps).
     """
-    i = pl.program_id(1)
-    nh = pl.num_programs(1)
-    dt = xbuf.dtype
-    chunk = max(1, min(th + 2, _CHUNK_BYTES // (4 * tw * cin)))
+    chunk = _chunk_rows(tw, cin, th + 2)
     for k0 in range(0, th + 2, chunk):
         kn = min(chunk, th + 2 - k0)
-        rc = kn * tw
-        xn = xbuf[1, pl.ds(k0, kn)].reshape(rc, cin).astype(jnp.float32)
-        if normalize:
-            bi2 = pl.program_id(0)
-            xn = xn * a_ref[bi2] + b_ref[bi2]
-            if act == "silu":
-                xn = xn * jax.nn.sigmoid(xn)
-        # image-boundary halo rows must stay ZERO post-activation
-        rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
-        col = jax.lax.rem(rows, tw)
-        if k0 == 0:
-            xn = jnp.where(jnp.logical_or(rows >= tw, i > 0), xn, 0.0)
-        if k0 + kn == th + 2:
-            xn = jnp.where(jnp.logical_or(rows < rc - tw, i < nh - 1),
-                           xn, 0.0)
-        if mask_h is not None:
-            # global input row of flat row r: i*th - 1 + k0 + r // tw
-            gr = i * th - 1 + k0 + rows // tw
-            xn = jnp.where(gr < mask_h, xn, 0.0)
-        if mask_w is not None:
-            xn = jnp.where(col < mask_w, xn, 0.0)
-        xbuf[1, pl.ds(k0, kn)] = xn.astype(dt).reshape(kn, tw, cin)
-        # column tap dj=0 reads x[.., oj-1]: shift flat rows down by 1; the
-        # first column of each image row has no left neighbor -> zero
-        left = jnp.where(col == 0, 0.0, pltpu.roll(xn, 1, 0))
-        xbuf[0, pl.ds(k0, kn)] = left.astype(dt).reshape(kn, tw, cin)
-        right = jnp.where(col == tw - 1, 0.0, pltpu.roll(xn, rc - 1, 0))
-        xbuf[2, pl.ds(k0, kn)] = right.astype(dt).reshape(kn, tw, cin)
+        _prologue_chunk(xbuf, a_ref, b_ref, k0, kn, th=th, tw=tw, cin=cin,
+                        normalize=normalize, act=act, mask_h=mask_h,
+                        mask_w=mask_w)
 
 
 def _prologue_fold(xbuf, a_ref, b_ref, *, m, P, h_real, tw, cin, normalize,
@@ -417,6 +445,8 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
     # boundary mask; the row taps (di) are then slices on the free dim, so
     # the 9 matmul operands below are pure views (tw % 8 == 0).
     slot = jax.lax.rem(i, 2) if nbuf == 2 else 0
+    nco = pl.num_programs(2)
+    ilv = _ILV and fold is None
 
     def main_dma(ii, sl):
         bi = pl.program_id(0)
@@ -503,6 +533,8 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
                 def _():
                     bot_dma(i + 1, 1 - slot).start()
 
+        if ilv:
+            return  # prologue is interleaved with the j==0 matmuls below
         pmask = dict(mask_h=mask_h, mask_w=mask_w) if normalize else {}
         if nbuf == 1:
             _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
@@ -587,16 +619,101 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
                 stats_ref[0, 0] = jnp.stack([jnp.sum(yf, axis=(0, 1)),
                                              jnp.sum(yf * yf, axis=(0, 1))])
 
-    if nbuf == 1:
-        compute(0)
-    else:
-        @pl.when(slot == 0)
-        def _c0():
-            compute(0)
+    def compute_ilv(sl):
+        # j==0 fused prologue+matmul: prologue chunks are emitted BETWEEN
+        # the output-row-chunk matmuls in one straight-line block, so the
+        # scheduler hides the VPU normalize/shift work under the MXU dots.
+        # Two granularities (on-chip A/B 2026-08-19): prologue chunks stay
+        # fp32-temp-bounded (~_CHUNK_BYTES), but compute chunks must keep
+        # the dot M-dim >= ~_ILV_M rows — at W=128/256 the prologue-sized
+        # M=512/1024 dots were 2x SLOWER than no interleave, while W=512's
+        # M=2048 won 1.24-1.37x. A static `done` counter keeps each
+        # compute chunk's +-1-row taps inside already-normalized rows with
+        # one compute chunk of lookahead. Bonus: the fp32 accumulator is
+        # (cc*tw, tco) instead of (th*tw, tco), so it never hits the
+        # _M_ROWS register cliff.
+        ch = _chunk_rows(tw, cin, th + 2)
+        cc = min(th, max(ch, -(-_ILV_M // tw)))
+        pmask = dict(mask_h=mask_h, mask_w=mask_w) if normalize else {}
+        done = 0
 
-        @pl.when(slot == 1)
-        def _c1():
-            compute(1)
+        def pro_upto(tgt):
+            nonlocal done
+            tgt = min(tgt, th + 2)
+            while done < tgt:
+                kn = min(ch, th + 2 - done)
+                _prologue_chunk(xbuf.at[sl], a_ref, b_ref, done, kn,
+                                th=th, tw=tw, cin=cin,
+                                normalize=normalize, act=act, **pmask)
+                done += kn
+
+        pro_upto(cc + 2)  # serial prefix: chunk 0's own taps
+        st = None
+        for r0 in range(0, th, cc):
+            rn = min(cc, th - r0)
+            # emit the NEXT chunk's prologue here, adjacent to this
+            # chunk's dots (same straight-line region -> overlapped)
+            pro_upto(r0 + rn + cc + 2)
+            acc = jnp.zeros((rn * tw, tco), jnp.float32)
+            for di in range(3):
+                for dj in range(3):
+                    xs = xbuf[sl, dj, pl.ds(r0 + di, rn)].reshape(
+                        rn * tw, cin)
+                    acc = acc + jnp.dot(xs, w_ref[di, dj],
+                                        preferred_element_type=jnp.float32)
+            acc = acc + bias_ref[0].astype(jnp.float32)
+            if eb_ref is not None:
+                acc = acc + eb_ref[pl.program_id(0)]
+            if sk_ref is not None:
+                csk = sk_ref.shape[-1]
+                acc = acc + jnp.dot(
+                    sk_ref[0, pl.ds(r0, rn)].reshape(rn * tw, csk),
+                    skw_ref[...], preferred_element_type=jnp.float32)
+            y = acc.reshape(rn, tw, tco)
+            if res_ref is not None:
+                y = y + res_ref[0, pl.ds(r0, rn)].astype(jnp.float32)
+            yo = y.astype(out_dtype)
+            if mask_h is not None or mask_w is not None:
+                m = jnp.full((rn, tw, 1), True)
+                if mask_h is not None:
+                    ri = jax.lax.broadcasted_iota(jnp.int32, (rn, tw, 1), 0)
+                    m = jnp.logical_and(m, ri + i * th + r0 < mask_h)
+                if mask_w is not None:
+                    ci = jax.lax.broadcasted_iota(jnp.int32, (rn, tw, 1), 1)
+                    m = jnp.logical_and(m, ci < mask_w)
+                yo = jnp.where(m, yo, 0)
+            out_ref[0, pl.ds(r0, rn)] = yo
+            if emit_stats:
+                yf = yo.astype(jnp.float32)
+                part = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                  jnp.sum(yf * yf, axis=(0, 1))])
+                st = part if st is None else st + part
+        if emit_stats:
+            stats_ref[0, 0] = st
+
+    def dispatch(fn):
+        if nbuf == 1:
+            fn(0)
+        else:
+            @pl.when(slot == 0)
+            def _c0():
+                fn(0)
+
+            @pl.when(slot == 1)
+            def _c1():
+                fn(1)
+
+    if not ilv:
+        dispatch(compute)
+    else:
+        @pl.when(j == 0)
+        def _ij0():
+            dispatch(compute_ilv)
+
+        if nco > 1:
+            @pl.when(j > 0)
+            def _ijn():
+                dispatch(compute)
 
 
 @functools.partial(jax.jit, static_argnames=("act", "emit_stats",

@@ -128,6 +128,41 @@ class TestStride1Kernel:
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("ilv", [True, False])
+    @pytest.mark.parametrize("ilv_m", [2048, 128])
+    @pytest.mark.parametrize("hw", [(256, 16), (250, 14)])
+    def test_interleaved_prologue_parity(self, monkeypatch, ilv, ilv_m, hw):
+        """FC_ILV fused prologue+matmul chunks vs the j==0 whole-tile
+        prologue: identical results on the nh>1 nbuf=2 grid, including
+        the spatially-padded mask path (odd H/W). ilv_m=128 forces
+        multiple compute chunks per tile (cc < th) so the two-granularity
+        pro_upto lookahead is exercised."""
+        H, W = hw
+        B, C, Co = 2, 512, 256
+        monkeypatch.setattr(fc, "_ILV", ilv)
+        monkeypatch.setattr(fc, "_ILV_M", ilv_m)
+        th, tco, nbuf, _, fold_m = fc._pick_tiles(
+            (H + 7) // 8 * 8, (W + 7) // 8 * 8, C, Co, 4, bsz=B)
+        assert fold_m == 0 and th is not None
+        assert nbuf == 2 and ((H + 7) // 8 * 8) // th > 1, (th, nbuf)
+        x, w = _data(31, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(32, (Co,))
+        scale = jnp.ones((C,), jnp.float32)
+        bias = jnp.zeros((C,), jnp.float32)
+        a, b = _gn_affine(x, scale, bias)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(x, w, cb, a=a, b=b,
+                                             emit_stats=True,
+                                             interpret=True)
+        ref = _ref_stride1(x, w, cb, a, b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        sums = np.asarray(st.sum(axis=1))
+        np.testing.assert_allclose(sums[:, 0], rf.sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_channel_padding(self):
         """C=64 and Co=3 pad to 128 inside the wrapper (conv_in/out class)."""
         B, H, W, C, Co = 1, 16, 16, 64, 3
