@@ -6,8 +6,12 @@ map of DINO ViT-B/8 *keys* at the last block (layer 11), MSE between the
 input image's map and the translated image's map. Per-block keys come as
 explicit outputs of models/dino.py — no hooks.
 
-Protocol parity: images resized to 224x224, ImageNet-normalized
-(dino_struct.py:94-109 uses Resize+ToTensor+Normalize).
+Protocol parity: the reference preprocess is
+`torchvision.transforms.Resize(224)` + ToTensor + Normalize
+(dino_struct.py:171-175) — Resize with an int size is SHORT-side-224 with
+aspect ratio preserved (bilinear on PIL input), NOT a square squash;
+non-square images stay non-square and the ViT runs on the resulting
+(224, W') grid (patch conv floors, pos embed interpolated).
 """
 
 from __future__ import annotations
@@ -62,9 +66,20 @@ class DinoStructureLoss:
         self._fn = jax.jit(lambda a, b: dino_struct_distance(
             self.params, self.cfg, a, b))
 
-    def preprocess(self, pil_image):
+    def preprocess(self, pil_image, size: int = 224):
+        """torchvision `Resize(224)` parity: short side -> 224, aspect
+        preserved, bilinear (torchvision calls PIL.resize with BILINEAR on
+        PIL inputs; long side = int(size * long / short), truncated —
+        torchvision _compute_resized_output_size semantics)."""
         import numpy as np
-        img = pil_image.convert("RGB").resize((224, 224))
+        from PIL import Image
+        img = pil_image.convert("RGB")
+        w, h = img.size
+        if w <= h:
+            new_w, new_h = size, int(size * h / w)
+        else:
+            new_w, new_h = int(size * w / h), size
+        img = img.resize((new_w, new_h), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         return jnp.asarray(arr)[None]
 

@@ -797,13 +797,22 @@ def geglu_ff(p, x):
 # ---------------------------------------------------------------------------
 
 
-def _fused_mm(x, ws, bs, ln=None, residual=None, gate=False, eps=1e-5):
+def _fused_mm(x, ws, bs, ln=None, residual=None, gate=False, eps=1e-5,
+              site=None):
     """Route to the Pallas matmul engine when it is on; None otherwise (the
     caller keeps the XLA composition). FM_DISABLE=1 turns just this engine
     off (A/B the transformer glue against XLA dots without touching the
-    conv kernels) — read at trace time like FUSED_KERNELS."""
+    conv kernels) — read at trace time like FUSED_KERNELS.
+
+    FM_SITES selects a per-call-site subset (comma list of
+    qkv,q,kv,linear,geglu; default all) so the in-graph arbiter (VERDICT
+    r4 item 4) can keep only the sites that beat XLA dots e2e."""
     import os
     if os.environ.get("FM_DISABLE") == "1" or not _pallas_tpu():
+        return None
+    sites = os.environ.get("FM_SITES", "all")
+    if sites != "all" and site is not None \
+            and site not in sites.split(","):
         return None
     from img2img_turbo_tpu.ops import fused_matmul as fm
     return fm.fused(x, tuple(ws), tuple(bs), ln=ln, residual=residual,
@@ -817,7 +826,8 @@ def linear_fused(p, x, residual=None):
     b = p.get("bias")
     if b is None:
         b = jnp.zeros((p["kernel"].shape[1],), x.dtype)
-    out = _fused_mm(x, (p["kernel"],), (b,), residual=residual)
+    out = _fused_mm(x, (p["kernel"],), (b,), residual=residual,
+                    site="linear")
     if out is not None:
         return out[0]
     y = linear(p, x)
@@ -839,13 +849,15 @@ def attention_block(p, p_norm, x, context=None, *, num_heads: int,
     q = k = v = None
     if context is None:
         outs = _fused_mm(x, (p["to_q"]["kernel"], p["to_k"]["kernel"],
-                             p["to_v"]["kernel"]), (z, z, z), ln=ln, eps=eps)
+                             p["to_v"]["kernel"]), (z, z, z), ln=ln, eps=eps,
+                         site="qkv")
         if outs is not None:
             q, k, v = outs
     else:
-        qo = _fused_mm(x, (p["to_q"]["kernel"],), (z,), ln=ln, eps=eps)
+        qo = _fused_mm(x, (p["to_q"]["kernel"],), (z,), ln=ln, eps=eps,
+                       site="q")
         kvo = _fused_mm(context, (p["to_k"]["kernel"], p["to_v"]["kernel"]),
-                        (z, z))
+                        (z, z), site="kv")
         if qo is not None and kvo is not None:
             q, (k, v) = qo[0], kvo
     if q is None:
@@ -871,7 +883,8 @@ def geglu_ff_block(p, p_norm, x, eps: float = 1e-5):
     gated Pallas kernel (the weight is viewed through shifted block
     indices, never sliced at trace time) and stage 2 fuses the residual."""
     u = _fused_mm(x, (p["proj"]["kernel"],), (p["proj"]["bias"],),
-                  ln=(p_norm["scale"], p_norm["bias"]), gate=True, eps=eps)
+                  ln=(p_norm["scale"], p_norm["bias"]), gate=True, eps=eps,
+                  site="geglu")
     if u is None:
         return x + geglu_ff(p, layer_norm(p_norm, x, eps))
     return linear_fused(p["out"], u[0], residual=x)

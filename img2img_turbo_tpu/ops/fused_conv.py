@@ -91,6 +91,22 @@ _ILV = os.environ.get("FC_ILV", "1") == "1"
 # compute chunks are therefore sized to >= _ILV_M rows independently of
 # the prologue chunking.
 _ILV_M = int(os.environ.get("FC_ILV_M", 2048))
+# Value-space compute (stride-1, non-fold): the round-4 profile shows the
+# memref-staged prologue achieving ZERO VPU/MXU overlap at the 512^2
+# decoder shapes (736 us measured = 390 us matmul floor + ~345 us VPU,
+# exactly additive — journal 2026-08-19 prologue probe): routing the
+# normalized tile through the 3-copy xbuf makes every dot depend on the
+# whole scratch buffer, so Mosaic serializes prologue against matmuls.
+# FC_VS instead normalizes each chunk as SSA VALUES feeding the dots
+# directly (no column-shift copies; column taps become output-side rolls
+# of the three per-tap partial sums), leaving a pure dataflow graph the
+# scheduler can overlap freely. A/B: FC_VS=1 (default off until the
+# on-chip A/B journals a win).
+_VS = os.environ.get("FC_VS", "0") == "1"
+# Output rows per value-space chunk (live fp32 temporaries scale with it;
+# the +2 halo rows are re-normalized per chunk, so larger is less VPU
+# overhead but more VMEM/registers).
+_VS_CC = int(os.environ.get("FC_VS_CC", 8))
 
 
 def _compiler_params(big: bool):
@@ -354,19 +370,25 @@ def _prologue_chunk(xbuf, a_ref, b_ref, k0, kn, *, th, tw, cin, normalize,
 
 
 def _prologue(xbuf, a_ref, b_ref, *, th, tw, cin, normalize, act,
-              mask_h=None, mask_w=None):
+              mask_h=None, mask_w=None, chunk=None):
     """Normalize(+SiLU) the loaded tile and build its column-shift copies.
 
     Processed in chunks of whole image rows so the fp32 temporaries stay
     bounded (~_CHUNK_BYTES) instead of scaling with the tile — which would
     otherwise dominate the kernel's scoped-vmem stack and force tiny tiles.
+    `chunk` is computed ONCE in `_kernel` and shared with the interleaved
+    path (`compute_ilv`), whose lookahead correctness depends on both sites
+    advancing in identical steps (the k0==0 / k0+kn==th+2 boundary masks in
+    `_prologue_chunk` fire only when chunk boundaries partition [0, th+2)
+    in order from 0 — advisor r4 finding).
 
     (A DMA-engine variant — left/right copies as VMEM->VMEM shifted
     copies overlapped with the center matmuls — is ILLEGAL on this
     hardware: Mosaic rejects sublane-offset memref slices, the W dim is
     sublane-tiled (8,128). The rotates must stay on the VPU.)
     """
-    chunk = _chunk_rows(tw, cin, th + 2)
+    if chunk is None:
+        chunk = _chunk_rows(tw, cin, th + 2)
     for k0 in range(0, th + 2, chunk):
         kn = min(chunk, th + 2 - k0)
         _prologue_chunk(xbuf, a_ref, b_ref, k0, kn, th=th, tw=tw, cin=cin,
@@ -429,11 +451,24 @@ def _prologue_fold(xbuf, a_ref, b_ref, *, m, P, h_real, tw, cin, normalize,
 def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             x_hbm, out_ref, stats_ref, xbuf, sem, *, th, tw, cin, tco,
             normalize, act, emit_stats, out_dtype, nbuf, mask_h=None,
-            mask_w=None, fold=None):
+            mask_w=None, fold=None, use_ilv=None, ilv_m=None, use_vs=None,
+            vs_cc=None):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nh = pl.num_programs(1)
     r = (th + 2) * tw  # flattened (rows-with-halo x width)
+    # one shared chunk height for BOTH prologue paths: the interleaved
+    # lookahead (`pro_upto`) and the whole-tile `_prologue` must advance in
+    # identical steps or the boundary masks in `_prologue_chunk` desync
+    ch = _chunk_rows(tw, cin, th + 2)
+    if use_ilv is None:
+        use_ilv = _ILV
+    if ilv_m is None:
+        ilv_m = _ILV_M
+    if use_vs is None:
+        use_vs = _VS
+    if vs_cc is None:
+        vs_cc = _VS_CC
 
     # xbuf: (nbuf, 3, th+2, tw, C) — sets of three column-shift copies of
     # the normalized tile. nbuf=2 double-buffers: tile i lives in slot i%2
@@ -446,7 +481,8 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
     # the 9 matmul operands below are pure views (tw % 8 == 0).
     slot = jax.lax.rem(i, 2) if nbuf == 2 else 0
     nco = pl.num_programs(2)
-    ilv = _ILV and fold is None
+    vs = use_vs and fold is None
+    ilv = use_ilv and fold is None and not vs
 
     def main_dma(ii, sl):
         bi = pl.program_id(0)
@@ -533,22 +569,24 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
                 def _():
                     bot_dma(i + 1, 1 - slot).start()
 
-        if ilv:
-            return  # prologue is interleaved with the j==0 matmuls below
+        if ilv or vs:
+            return  # ilv: prologue interleaved with the j==0 matmuls
+            # below; vs: no prologue at all — normalization happens in
+            # value space inside compute_vs
         pmask = dict(mask_h=mask_h, mask_w=mask_w) if normalize else {}
         if nbuf == 1:
             _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                      normalize=normalize, act=act, **pmask)
+                      normalize=normalize, act=act, chunk=ch, **pmask)
         else:
             @pl.when(slot == 0)
             def _pr0():
                 _prologue(xbuf.at[0], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                          normalize=normalize, act=act, **pmask)
+                          normalize=normalize, act=act, chunk=ch, **pmask)
 
             @pl.when(slot == 1)
             def _pr1():
                 _prologue(xbuf.at[1], a_ref, b_ref, th=th, tw=tw, cin=cin,
-                          normalize=normalize, act=act, **pmask)
+                          normalize=normalize, act=act, chunk=ch, **pmask)
 
     def compute(sl):
         # static slot: a traced slot index in the matmul operands forces
@@ -631,9 +669,9 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         # compute chunk's +-1-row taps inside already-normalized rows with
         # one compute chunk of lookahead. Bonus: the fp32 accumulator is
         # (cc*tw, tco) instead of (th*tw, tco), so it never hits the
-        # _M_ROWS register cliff.
-        ch = _chunk_rows(tw, cin, th + 2)
-        cc = min(th, max(ch, -(-_ILV_M // tw)))
+        # _M_ROWS register cliff. `ch` is the shared chunk height computed
+        # once in _kernel (same steps as the non-interleaved _prologue).
+        cc = min(th, max(ch, -(-ilv_m // tw)))
         pmask = dict(mask_h=mask_h, mask_w=mask_w) if normalize else {}
         done = 0
 
@@ -691,6 +729,93 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
         if emit_stats:
             stats_ref[0, 0] = st
 
+    def compute_vs(sl):
+        # Value-space chunked compute (see the _VS comment at the top of
+        # the module): each chunk of `cc` output rows reads the RAW tile
+        # slice (+2 halo rows), normalizes it as fp32 SSA values,
+        # casts to the dot dtype, and feeds the 9 taps as 3 per-column-tap
+        # partial sums P_dj = sum_di dot(rows+di, w[di, dj]); the column
+        # shifts land on the OUTPUT side (O = roll(P0) + P1 + roll(P2)).
+        # Nothing round-trips through a scratch memref between the VPU
+        # prologue and the MXU dots, so the scheduler is free to overlap
+        # chunk k+1's normalize with chunk k's matmuls. The +2 halo rows
+        # are re-normalized per chunk ((cc+2)/cc VPU overhead) and, on
+        # nco>1 grids, per co tile — both hidden when overlap engages.
+        cc = min(th, max(vs_cc, -(-ilv_m // tw)))
+        bi2 = pl.program_id(0)
+        st = None
+        for r0 in range(0, th, cc):
+            rn = min(cc, th - r0)
+            rc = (rn + 2) * tw
+            xn = xbuf[sl, 1, pl.ds(r0, rn + 2)].reshape(
+                rc, cin).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+            col = jax.lax.rem(rows, tw)
+            if normalize:
+                xn = xn * a_ref[bi2] + b_ref[bi2]
+                if act == "silu":
+                    xn = xn * jax.nn.sigmoid(xn)
+            # image-boundary halo rows must stay ZERO post-activation
+            # (tile row -1 at i==0 / row th at i==nh-1 are never DMA'd)
+            if r0 == 0:
+                xn = jnp.where(jnp.logical_or(rows >= tw, i > 0), xn, 0.0)
+            if r0 + rn == th:
+                xn = jnp.where(jnp.logical_or(rows < rc - tw, i < nh - 1),
+                               xn, 0.0)
+            if normalize and mask_h is not None:
+                gr = i * th - 1 + r0 + rows // tw
+                xn = jnp.where(gr < mask_h, xn, 0.0)
+            if normalize and mask_w is not None:
+                xn = jnp.where(col < mask_w, xn, 0.0)
+            xb = xn.astype(xbuf.dtype)
+            accs = []
+            for dj in range(3):
+                acc_j = jnp.zeros((rn * tw, tco), jnp.float32)
+                for di in range(3):
+                    xs = jax.lax.slice(
+                        xb, (di * tw, 0), (di * tw + rn * tw, cin))
+                    acc_j = acc_j + jnp.dot(
+                        xs, w_ref[di, dj],
+                        preferred_element_type=jnp.float32)
+                accs.append(acc_j)
+            orow = jax.lax.broadcasted_iota(jnp.int32, (rn * tw, 1), 0)
+            ocol = jax.lax.rem(orow, tw)
+            # O[:, s] = P0[:, s-1] + P1[:, s] + P2[:, s+1]; the flat-roll
+            # cross-row wraps land exactly on the masked SAME-padding cols
+            left = jnp.where(ocol == 0, 0.0, pltpu.roll(accs[0], 1, 0))
+            right = jnp.where(ocol == tw - 1, 0.0,
+                              pltpu.roll(accs[2], rn * tw - 1, 0))
+            acc = accs[1] + left + right
+            acc = acc + bias_ref[0].astype(jnp.float32)
+            if eb_ref is not None:
+                acc = acc + eb_ref[bi2]
+            if sk_ref is not None:
+                csk = sk_ref.shape[-1]
+                acc = acc + jnp.dot(
+                    sk_ref[0, pl.ds(r0, rn)].reshape(rn * tw, csk),
+                    skw_ref[...], preferred_element_type=jnp.float32)
+            y = acc.reshape(rn, tw, tco)
+            if res_ref is not None:
+                y = y + res_ref[0, pl.ds(r0, rn)].astype(jnp.float32)
+            yo = y.astype(out_dtype)
+            if mask_h is not None or mask_w is not None:
+                m = jnp.full((rn, tw, 1), True)
+                if mask_h is not None:
+                    ri = jax.lax.broadcasted_iota(jnp.int32, (rn, tw, 1), 0)
+                    m = jnp.logical_and(m, ri + i * th + r0 < mask_h)
+                if mask_w is not None:
+                    ci = jax.lax.broadcasted_iota(jnp.int32, (rn, tw, 1), 1)
+                    m = jnp.logical_and(m, ci < mask_w)
+                yo = jnp.where(m, yo, 0)
+            out_ref[0, pl.ds(r0, rn)] = yo
+            if emit_stats:
+                yf = yo.astype(jnp.float32)
+                part = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                                  jnp.sum(yf * yf, axis=(0, 1))])
+                st = part if st is None else st + part
+        if emit_stats:
+            stats_ref[0, 0] = st
+
     def dispatch(fn):
         if nbuf == 1:
             fn(0)
@@ -703,7 +828,9 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
             def _c1():
                 fn(1)
 
-    if not ilv:
+    if vs:
+        dispatch(compute_vs)
+    elif not ilv:
         dispatch(compute)
     else:
         @pl.when(j == 0)
@@ -717,11 +844,16 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, eb_ref, res_ref, sk_ref, skw_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("act", "emit_stats",
-                                             "interpret"))
+                                             "interpret", "ilv", "ilv_m",
+                                             "vs", "vs_cc"))
 def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
                           residual=None, skip_x=None, skip_w=None,
                           act: str = "silu", emit_stats: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          ilv: Optional[bool] = None,
+                          ilv_m: Optional[int] = None,
+                          vs: Optional[bool] = None,
+                          vs_cc: Optional[int] = None):
     """y = conv3x3_same(act(x*a + b)) + bias [+ extra_bias] [+ residual]
     [+ skip_x @ skip_w].
 
@@ -733,7 +865,13 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
     the output (the skip-decoder's zero-conv fusion, gamma folded into
     skip_w by the caller);
     emit_stats: also return per-tile output sums (B, n_tiles, 2, Co) for
-    `combine_stats` — the next GroupNorm's statistics ride along for free.
+    `combine_stats` — the next GroupNorm's statistics ride along for free;
+    ilv / ilv_m: interleaved-prologue toggle and min dot-M rows. None (the
+    default) resolves to the FC_ILV / FC_ILV_M env defaults; explicit
+    values are STATIC jit args so A/B tests get distinct cache entries
+    (monkeypatching the module globals does NOT retrace — advisor r4).
+    vs / vs_cc: value-space compute toggle and chunk rows (FC_VS /
+    FC_VS_CC defaults) — see the _VS module comment; vs supersedes ilv.
     """
     bsz, h, wd, c = x.shape
     co_real = w.shape[-1]
@@ -899,7 +1037,8 @@ def fused_gn_silu_conv3x3(x, w, bias, a=None, b=None, extra_bias=None,
                 tco=tco, normalize=normalize, act=act,
                 emit_stats=emit_stats, out_dtype=x.dtype, nbuf=nbuf,
                 mask_h=mask_h_eff,
-                mask_w=wd if wp != wd else None, fold=fold)
+                mask_w=wd if wp != wd else None, fold=fold,
+                use_ilv=ilv, ilv_m=ilv_m, use_vs=vs, vs_cc=vs_cc)
 
     outs = pl.pallas_call(
         kernel,

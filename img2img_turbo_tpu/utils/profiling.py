@@ -54,13 +54,23 @@ class StepTimer:
 def device_time_per_call(fn, args, iters: int = 10,
                          trace_dir: Optional[str] = None) -> Dict[str, float]:
     """True on-device execution time per call, measured from a profiler
-    trace (the span of the device track divided by iters).
+    trace.
 
     Needed because wall-clock on relay-attached test rigs includes a large
     fixed host<->device tunnel latency (~tens of ms on this box's axon
     loopback) that does not exist on production TPU hosts.
+
+    Two estimators come back:
+    - `device_p50_per_call_s` (preferred): the median duration of the
+      top-level XLA-module execution events on the device track — one
+      event per call, so dispatch gaps BETWEEN iterations (tunnel
+      round-trips, host hiccups) cannot inflate it. BENCH_r04's 29%
+      driver-vs-journal spread is exactly the failure mode this kills:
+      span/iters charges inter-call idle time to the kernel.
+    - `device_span_per_call_s` (legacy): device-track span / iters. Kept
+      for continuity and as the fallback when module events can't be
+      identified (equals the p50 basis on an idle tunnel).
     """
-    import collections
     import glob
     import gzip
     import json
@@ -74,7 +84,11 @@ def device_time_per_call(fn, args, iters: int = 10,
         out = fn(*args)
     jax.block_until_ready(out)
     try:
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        # block_until_ready can return before device completion on the axon
+        # relay; a host fetch is the only true sync. Fetch ONE element (not
+        # the full output) — the round trip is the sync, the payload is not.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
     except Exception:
         pass
     jax.profiler.stop_trace()
@@ -96,9 +110,55 @@ def device_time_per_call(fn, args, iters: int = 10,
     span = (max(e["ts"] + e["dur"] for e in evs)
             - min(e["ts"] for e in evs)) / 1e6
     busy = sum(e["dur"] for e in evs) / 1e6
-    return {"device_span_per_call_s": span / iters,
-            "device_busy_total_s": busy,
-            "iters": iters}
+    result = {"device_span_per_call_s": span / iters,
+              "device_busy_total_s": busy,
+              "iters": iters}
+    # Module-level per-call durations. Preferred source: the device pid's
+    # "XLA Modules" thread (one event per executable run). If a call
+    # dispatches several modules, each name's median sums into the
+    # per-call time. Fallback heuristic when the thread isn't labeled:
+    # group ALL device events by name, keep names repeating >= iters
+    # times, take the one with the largest median (op rows repeat too but
+    # are strictly shorter than their enclosing module row).
+    mod_tids = {
+        (e["pid"], e.get("tid"))
+        for e in data["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e.get("pid") in device_pids
+        and "XLA Modules" in e.get("args", {}).get("name", "")}
+    mod_evs = [e for e in evs if (e["pid"], e.get("tid")) in mod_tids]
+    by_name: Dict[str, list] = {}
+    for e in (mod_evs if mod_evs else evs):
+        by_name.setdefault(e["name"], []).append(e["dur"])
+    if mod_evs:
+        # a module dispatched k times per call contributes k * median;
+        # one-off events (donation copies, consts) have count < iters and
+        # are excluded — they are not steady-state per-call work
+        per_call = 0.0
+        p90 = 0.0
+        used = []
+        for name, durs in sorted(by_name.items()):
+            k = int(round(len(durs) / iters))
+            if k < 1:
+                continue
+            arr = np.asarray(durs, np.float64) / 1e6
+            per_call += k * float(np.percentile(arr, 50))
+            p90 += k * float(np.percentile(arr, 90))
+            used.append(name)
+        if used:
+            result["device_p50_per_call_s"] = per_call
+            result["device_p90_per_call_s"] = p90
+            result["module_event"] = ",".join(used)
+    else:
+        cands = {n: d for n, d in by_name.items() if len(d) >= iters}
+        if cands:
+            name = max(cands, key=lambda n: float(np.median(cands[n])))
+            durs = np.asarray(sorted(cands[name])[-iters:],
+                              np.float64) / 1e6
+            result["device_p50_per_call_s"] = float(np.percentile(durs, 50))
+            result["device_p90_per_call_s"] = float(np.percentile(durs, 90))
+            result["module_event"] = name
+    return result
 
 
 def device_memory_stats() -> Dict[str, float]:

@@ -150,6 +150,18 @@ def stage_conv():
         "shape no longer picks a fold_m < 8 — pick another smoke shape"
     y8 = fc.fused_gn_silu_conv3x3(x8, w8, b8_, a=a8, b=b8b, extra_bias=eb8)
     ok("gn_silu_conv_folded_b8_m2", y8[0])
+    # b8 regime-L (big-spatial, NON-fold, nbuf=2 multi-tile grid) — the
+    # bench's b8 decoder path; 192^2 keeps the smoke fast
+    xl8 = t(8, 192, 192, 128)
+    al8 = jnp.ones((8, 128), jnp.float32)
+    bl8 = jnp.zeros((8, 128), jnp.float32)
+    assert fc._pick_tiles(192, 192, 128, 128, 2, bsz=8)[4] == 0, \
+        "shape no longer lands in regime L — pick another smoke shape"
+    yl8 = fc.fused_gn_silu_conv3x3(xl8, w, b, a=al8, b=bl8)
+    ok("gn_silu_conv_b8_regimeL", yl8[0])
+    # value-space compute path (FC_VS) at the decoder-class shape
+    yvs = fc.fused_gn_silu_conv3x3(x1, w, b, a=a_, b=b_, vs=True)
+    ok("gn_silu_conv_vs", yvs[0])
     # stride-2 downsample
     yd = fc.downsample2x_conv3x3(x1, w, b)
     ok("downsample2x", yd[0])

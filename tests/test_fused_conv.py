@@ -131,16 +131,17 @@ class TestStride1Kernel:
     @pytest.mark.parametrize("ilv", [True, False])
     @pytest.mark.parametrize("ilv_m", [2048, 128])
     @pytest.mark.parametrize("hw", [(256, 16), (250, 14)])
-    def test_interleaved_prologue_parity(self, monkeypatch, ilv, ilv_m, hw):
+    def test_interleaved_prologue_parity(self, ilv, ilv_m, hw):
         """FC_ILV fused prologue+matmul chunks vs the j==0 whole-tile
         prologue: identical results on the nh>1 nbuf=2 grid, including
         the spatially-padded mask path (odd H/W). ilv_m=128 forces
         multiple compute chunks per tile (cc < th) so the two-granularity
-        pro_upto lookahead is exercised."""
+        pro_upto lookahead is exercised. ilv/ilv_m ride as STATIC jit args
+        so every parametrization gets its own compiled graph (module-global
+        monkeypatching shared one cache entry across all combos —
+        advisor r4 vacuity finding)."""
         H, W = hw
         B, C, Co = 2, 512, 256
-        monkeypatch.setattr(fc, "_ILV", ilv)
-        monkeypatch.setattr(fc, "_ILV_M", ilv_m)
         th, tco, nbuf, _, fold_m = fc._pick_tiles(
             (H + 7) // 8 * 8, (W + 7) // 8 * 8, C, Co, 4, bsz=B)
         assert fold_m == 0 and th is not None
@@ -154,7 +155,8 @@ class TestStride1Kernel:
         with pltpu.force_tpu_interpret_mode():
             y, st = fc.fused_gn_silu_conv3x3(x, w, cb, a=a, b=b,
                                              emit_stats=True,
-                                             interpret=True)
+                                             interpret=True,
+                                             ilv=ilv, ilv_m=ilv_m)
         ref = _ref_stride1(x, w, cb, a, b)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
@@ -162,6 +164,52 @@ class TestStride1Kernel:
         sums = np.asarray(st.sum(axis=1))
         np.testing.assert_allclose(sums[:, 0], rf.sum((1, 2)),
                                    rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("vs_cc", [8, 2])
+    @pytest.mark.parametrize("hw", [(256, 16), (250, 14)])
+    def test_value_space_parity(self, vs_cc, hw):
+        """FC_VS value-space compute (normalize as SSA values feeding the
+        dots; column taps as output-side rolls of the per-tap partial
+        sums) vs the XLA reference, on the nh>1 nbuf=2 grid incl. the
+        spatially-padded mask path. vs_cc=2 forces several chunks per tile
+        (halo-row re-normalization + chunk-boundary output rolls); the
+        full epilogue (extra_bias, residual, skip fusion, stats) rides
+        along."""
+        H, W = hw
+        B, C, Co = 2, 512, 256
+        th, tco, nbuf, _, fold_m = fc._pick_tiles(
+            (H + 7) // 8 * 8, (W + 7) // 8 * 8, C, Co, 4, bsz=B)
+        assert fold_m == 0 and th is not None and nbuf == 2
+        x, w = _data(41, (B, H, W, C), (3, 3, C, Co))
+        w = w * 0.05
+        (cb,) = _data(42, (Co,))
+        eb, res = _data(43, (B, Co), (B, H, W, Co))
+        skx, = _data(44, (B, H, W, 128))
+        skw, = _data(45, (128, Co))
+        skw = skw * 0.01
+        scale = jnp.ones((C,), jnp.float32)
+        bias = jnp.zeros((C,), jnp.float32)
+        a, b = _gn_affine(x, scale, bias)
+        with pltpu.force_tpu_interpret_mode():
+            y, st = fc.fused_gn_silu_conv3x3(
+                x, w, cb, a=a, b=b, extra_bias=eb, residual=res,
+                skip_x=skx, skip_w=skw, emit_stats=True, interpret=True,
+                vs=True, vs_cc=vs_cc)
+        ref = _ref_stride1(x, w, cb, a, b, eb, res, skx, skw)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        rf = np.asarray(ref, np.float64)
+        sums = np.asarray(st.sum(axis=1))
+        np.testing.assert_allclose(sums[:, 0], rf.sum((1, 2)),
+                                   rtol=1e-3, atol=1e-3)
+        # vs=False on the same operands must agree exactly (same math)
+        with pltpu.force_tpu_interpret_mode():
+            y2, _ = fc.fused_gn_silu_conv3x3(
+                x, w, cb, a=a, b=b, extra_bias=eb, residual=res,
+                skip_x=skx, skip_w=skw, emit_stats=True, interpret=True,
+                vs=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                                   rtol=2e-3, atol=2e-3)
 
     def test_channel_padding(self):
         """C=64 and Co=3 pad to 128 inside the wrapper (conv_in/out class)."""

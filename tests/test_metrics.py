@@ -269,3 +269,44 @@ class TestDinoStruct:
         d_scram = float(dino_struct.dino_struct_distance(
             params, cfg, jnp.asarray(x), jnp.asarray(scrambled)))
         assert d_color < d_scram
+
+    def test_preprocess_short_side_aspect_preserving(self, dino):
+        """Reference parity (dino_struct.py:171-175):
+        torchvision.transforms.Resize(224) with an int size resizes the
+        SHORT side to 224 and preserves aspect ratio (bilinear) — NOT a
+        square squash. Non-square inputs must stay non-square, match
+        torchvision's int() output-size rule, and still run through the
+        ViT (patch conv floors, pos-embed interpolates)."""
+        from PIL import Image
+        params, cfg = dino
+        loss = dino_struct.DinoStructureLoss(params=params, cfg=cfg)
+        rng = np.random.RandomState(7)
+        # landscape 500x300 -> short side (h=300) to 224, w = int(224*500/300)
+        img = Image.fromarray(
+            rng.randint(0, 255, (300, 500, 3), np.uint8))
+        t = loss.preprocess(img, size=224)
+        assert t.shape == (1, 224, int(224 * 500 / 300), 3)
+        # portrait 300x500 -> w=224, h = int(224*500/300)
+        img_p = Image.fromarray(
+            rng.randint(0, 255, (500, 300, 3), np.uint8))
+        t_p = loss.preprocess(img_p, size=224)
+        assert t_p.shape == (1, int(224 * 500 / 300), 224, 3)
+        assert float(t.max()) <= 1.0 and float(t.min()) >= 0.0
+        # the ViT must accept the non-square grid (floor-divided patches)
+        d = dino_struct.dino_struct_distance(params, cfg, t, t)
+        assert float(d) < 1e-10
+
+    def test_preprocess_torchvision_pixel_parity(self, dino):
+        """Exact pixels vs torchvision.transforms.Resize(224) when
+        torchvision is available (not on this box — kept for parity CI)."""
+        torchvision = pytest.importorskip("torchvision")
+        from PIL import Image
+        params, cfg = dino
+        loss = dino_struct.DinoStructureLoss(params=params, cfg=cfg)
+        img = Image.fromarray(np.random.RandomState(7)
+                              .randint(0, 255, (300, 500, 3), np.uint8))
+        t = loss.preprocess(img, size=224)
+        ref = torchvision.transforms.Resize(224)(img)
+        np.testing.assert_allclose(
+            np.asarray(t)[0], np.asarray(ref, np.float32) / 255.0,
+            rtol=0, atol=1e-6)
