@@ -78,6 +78,9 @@ _VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # Mosaic vmem_limit_bytes
 # per-tile fixed costs argue for the LARGEST th under the cap (512^2
 # 256ch entry: th=8 left ~400us of per-tile overhead on the table).
 _M_ROWS = int(os.environ.get("FC_MROWS", 8192))
+# Experiment knob: force regime L's output-channel tile (e.g. FC_TCO=512
+# makes nco=1 on the 512-ch decoder shapes). 0 = default policy.
+_TCO_FORCE = int(os.environ.get("FC_TCO", 0))
 # Interleaved prologue/matmul (stride-1 kernel, non-fold): at j==0 the
 # tile's VPU prologue chunks are emitted BETWEEN the output-row-chunk
 # matmuls in one straight-line block (2-chunk lookahead), so Mosaic's
@@ -175,7 +178,10 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
         # th wins — the round-4 on-chip sweep showed the serial-DMA loss of
         # nbuf=1 tiles outweighs tile size at every profiled decoder shape
         # (the round-2 tiny-tile budgets never had room for both).
-        if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
+        if _TCO_FORCE and co % _TCO_FORCE == 0 \
+                and 9 * c * _TCO_FORCE * itemsize <= 2 * _W_BUDGET:
+            tco = _TCO_FORCE
+        elif co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
             tco = 128
         elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
             tco = co

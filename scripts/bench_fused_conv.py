@@ -102,13 +102,18 @@ def run(idx):
     # timing on small kernels; span is reported for reference
     sf = device_time_per_call(fused, args, iters=20)
     sx = device_time_per_call(jax.jit(xla_ref), args, iters=20)
-    t_f = sf["device_busy_total_s"] / sf["iters"]
-    t_x = sx["device_busy_total_s"] / sx["iters"]
+    # module-event p50 (one event per call) is the trustworthy basis on
+    # this rig (docs/perf_journal.md 2026-08-19); busy kept for continuity
+    t_f = sf.get("device_p50_per_call_s") \
+        or sf["device_busy_total_s"] / sf["iters"]
+    t_x = sx.get("device_p50_per_call_s") \
+        or sx["device_busy_total_s"] / sx["iters"]
+    b_f = sf["device_busy_total_s"] / sf["iters"]
+    b_x = sx["device_busy_total_s"] / sx["iters"]
     print(f"   fused {t_f*1e6:8.1f} us  {gflop/t_f/1e3:6.1f} TF/s   "
           f"xla {t_x*1e6:8.1f} us  {gflop/t_x/1e3:6.1f} TF/s   "
           f"speedup {t_x/t_f:.2f}x   "
-          f"(span {sf['device_span_per_call_s']*1e6:.1f}/"
-          f"{sx['device_span_per_call_s']*1e6:.1f})")
+          f"(busy {b_f*1e6:.1f}/{b_x*1e6:.1f})")
 
 
 if __name__ == "__main__":

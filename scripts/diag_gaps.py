@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--gap-us", type=float, default=100.0)
+    ap.add_argument("--detail", default=None,
+                    help="op-name prefix: print its per-event durations "
+                         "clustered to 10us within the module window")
     args = ap.parse_args()
 
     from bench import _make_engine
@@ -118,6 +121,15 @@ def main():
     print("  top buckets (ms, count):")
     for name, d in sorted(buckets.items(), key=lambda kv: -kv[1])[:15]:
         print(f"    {d / 1e3:8.2f}  {counts[name]:4d}  {name[:70]}")
+    if args.detail:
+        durs = sorted(e["dur"] for e in inside
+                      if e["name"].startswith(args.detail))
+        clusters = collections.Counter(round(d / 10) * 10 for d in durs)
+        print(f"  {args.detail}: {len(durs)} events, "
+              f"total {sum(durs) / 1e3:.2f} ms")
+        for d, n in sorted(clusters.items(), key=lambda kv: -kv[0] * kv[1]):
+            print(f"    {n:3d} x {d / 1e3:8.3f} ms = "
+                  f"{n * d / 1e3:8.2f} ms")
     # gaps
     gaps = []
     cur = t0
