@@ -78,9 +78,30 @@ _VMEM_LIMIT = _env_mb("FC_VMEM_MB", 128)   # Mosaic vmem_limit_bytes
 # per-tile fixed costs argue for the LARGEST th under the cap (512^2
 # 256ch entry: th=8 left ~400us of per-tile overhead on the table).
 _M_ROWS = int(os.environ.get("FC_MROWS", 8192))
+# Weight-RESIDENT output tile cap (regime L): with the (b, i, j) grid and
+# j (co-blocks) innermost, any nco > 1 re-fetches the full weight tensor
+# once per (b, i) — Pallas only skips a block DMA when the index map
+# output is unchanged between consecutive grid steps. At the deep-channel
+# decoder shapes that is the dominant HBM stream (128^2x512: 37.7 MB of
+# weight traffic vs 4.7 MB resident) and the round-5 on-chip matrix
+# measured it directly (module-event basis, 2026-08-19): tco=co cut
+# 128^2x512 from 1210.6 -> 646.2 us, 256^2x256 from 1196.5 -> 790.7,
+# 256^2x512->256 from 2495.7 -> 1625.9. tco therefore prefers FULL co
+# (nco=1, weights fetched exactly once) whenever the block fits this cap,
+# falling back to the streamed 128-column policy otherwise.
+_W_RESIDENT = _env_mb("FC_W_RES_MB", 6)
 # Experiment knob: force regime L's output-channel tile (e.g. FC_TCO=512
 # makes nco=1 on the 512-ch decoder shapes). 0 = default policy.
 _TCO_FORCE = int(os.environ.get("FC_TCO", 0))
+# Experiment knob: at bsz > 1, prefer regime L over regime F whenever L's
+# pick is weight-resident (nco == 1). Rationale: regime F exists to cut
+# weight re-streams (grid (1, bsz/m, nco) fetches each block bsz/m times),
+# but a weight-RESIDENT L grid fetches the block exactly ONCE — less
+# traffic than any fold — and L tiles double-buffer their halo DMAs where
+# F tiles are serial whole-image loads. Only shapes where the full weight
+# tensor fits _W_RESIDENT qualify (e.g. b8 64^2x512: L 4.7 MB once vs
+# F m=2 18.9 MB). A/B: FC_PREF_L=1 (default off until journaled).
+_PREF_L = os.environ.get("FC_PREF_L", "0") == "1"
 # Interleaved prologue/matmul (stride-1 kernel, non-fold): at j==0 the
 # tile's VPU prologue chunks are emitted BETWEEN the output-row-chunk
 # matmuls in one straight-line block (2-chunk lookahead), so Mosaic's
@@ -173,14 +194,18 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
         return prologue + 2 * wbytes + acc + io
 
     def pick_l():
-        # tco=128 when co is 128-divisible (larger output tiles gave no
-        # speedup), else full co. Tile policy: the LARGEST double-buffered
-        # th wins — the round-4 on-chip sweep showed the serial-DMA loss of
-        # nbuf=1 tiles outweighs tile size at every profiled decoder shape
-        # (the round-2 tiny-tile budgets never had room for both).
+        # tco: weight-RESIDENT full co first (nco=1 — the weight block is
+        # DMA'd exactly once for the whole grid; see _W_RESIDENT above),
+        # then the streamed 128-column fallback. Tile policy: the LARGEST
+        # double-buffered th wins — the round-4 on-chip sweep showed the
+        # serial-DMA loss of nbuf=1 tiles outweighs tile size at every
+        # profiled decoder shape (the round-2 tiny-tile budgets never had
+        # room for both).
         if _TCO_FORCE and co % _TCO_FORCE == 0 \
                 and 9 * c * _TCO_FORCE * itemsize <= 2 * _W_BUDGET:
             tco = _TCO_FORCE
+        elif co % 8 == 0 and 9 * c * co * itemsize <= _W_RESIDENT:
+            tco = co
         elif co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
             tco = 128
         elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
@@ -208,6 +233,10 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
 
     # regime F: multi-image folded tiles (only a win for m >= 2)
     if bsz > 1:
+        if _PREF_L:
+            lt = pick_l()
+            if lt[0] is not None and lt[1] == co:
+                return lt
         P = h + 2
         tco = _pick_tco(c, co, itemsize, 9, _S_WBLOCK)
         if tco is not None:
