@@ -611,7 +611,14 @@ def downsample2x_conv(conv_p, x, pad_lo: int, emit_stats: bool = False):
     stats for GN chaining. Elsewhere: the strided XLA conv.
     """
     kernel = conv_p["kernel"]
-    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu():
+    import os
+    if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu() \
+            and os.environ.get("FC_XLA_DOWN") != "1":
+        # FC_XLA_DOWN=1: in-graph A/B arbiter — the Pallas down kernel
+        # LOSES to an isolated XLA strided conv (matrix2 2026-08-19:
+        # 128^2x512 b1 0.58x, b8 0.31x — phase-rebuild VPU cost), but it
+        # exists to avoid the XLA-conv-at-Pallas-boundary schedule
+        # collapse; only an e2e A/B can arbitrate.
         from img2img_turbo_tpu.ops import fused_conv
         if fused_conv.downsample_supported(x.shape, kernel.shape[-1],
                                            x.dtype.itemsize):

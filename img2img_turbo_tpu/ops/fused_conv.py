@@ -88,20 +88,25 @@ _M_ROWS = int(os.environ.get("FC_MROWS", 8192))
 # 128^2x512 from 1210.6 -> 646.2 us, 256^2x256 from 1196.5 -> 790.7,
 # 256^2x512->256 from 2495.7 -> 1625.9. tco therefore prefers FULL co
 # (nco=1, weights fetched exactly once) whenever the block fits this cap,
-# falling back to the streamed 128-column policy otherwise.
-_W_RESIDENT = _env_mb("FC_W_RES_MB", 6)
+# falling back to the streamed 128-column policy otherwise. 8 MB admits
+# the 640-ch UNet weights (7.4 MB) — only reachable at bsz > 1 via the
+# _PREF_L path below (b1 640-ch shapes are regime S), where the on-chip A/B
+# measured 535.6 -> 406.0 us (matrix2 2026-08-19).
+_W_RESIDENT = _env_mb("FC_W_RES_MB", 8)
 # Experiment knob: force regime L's output-channel tile (e.g. FC_TCO=512
 # makes nco=1 on the 512-ch decoder shapes). 0 = default policy.
 _TCO_FORCE = int(os.environ.get("FC_TCO", 0))
-# Experiment knob: at bsz > 1, prefer regime L over regime F whenever L's
-# pick is weight-resident (nco == 1). Rationale: regime F exists to cut
-# weight re-streams (grid (1, bsz/m, nco) fetches each block bsz/m times),
-# but a weight-RESIDENT L grid fetches the block exactly ONCE — less
-# traffic than any fold — and L tiles double-buffer their halo DMAs where
-# F tiles are serial whole-image loads. Only shapes where the full weight
-# tensor fits _W_RESIDENT qualify (e.g. b8 64^2x512: L 4.7 MB once vs
-# F m=2 18.9 MB). A/B: FC_PREF_L=1 (default off until journaled).
-_PREF_L = os.environ.get("FC_PREF_L", "0") == "1"
+# At bsz > 1, prefer regime L over regime F when L's pick is
+# weight-resident (nco == 1) AND c >= 512. Rationale: regime F exists to
+# cut weight re-streams (grid (1, bsz/m, nco) fetches each block bsz/m
+# times), but a weight-RESIDENT L grid fetches the block exactly ONCE —
+# less traffic than any fold — and L tiles double-buffer their halo DMAs
+# where F tiles are serial whole-image loads. On-chip A/B (matrix2
+# 2026-08-19, module-event p50): b8 64^2x512 1399.7 -> 1314.4 us, b8
+# 32^2x640 535.6 -> 406.0 us (resident via the 8 MB cap), but b8
+# 64^2x320 906.7 -> 1040.7 us — the 320/384-ch class is prologue-bound
+# and keeps the fold, hence the c >= 512 gate. A/B: FC_PREF_L=0.
+_PREF_L = os.environ.get("FC_PREF_L", "1") == "1"
 # Interleaved prologue/matmul (stride-1 kernel, non-fold): at j==0 the
 # tile's VPU prologue chunks are emitted BETWEEN the output-row-chunk
 # matmuls in one straight-line block (2-chunk lookahead), so Mosaic's
@@ -233,7 +238,7 @@ def _pick_tiles(h: int, w: int, c: int, co: int, itemsize: int,
 
     # regime F: multi-image folded tiles (only a win for m >= 2)
     if bsz > 1:
-        if _PREF_L:
+        if _PREF_L and c >= 512:
             lt = pick_l()
             if lt[0] is not None and lt[1] == co:
                 return lt
@@ -1124,6 +1129,11 @@ def _pick_tiles_down(hout: int, w: int, c: int, co: int, itemsize: int,
         return raw, phases + prologue + 2 * wbytes + acc + io
 
     def pick_l():
+        # NOTE: the stride-1 weight-resident tco policy was A/B'd here too
+        # and REGRESSED (journal 2026-08-19 matrix2: down 128^2x512 b1
+        # 384.8 -> 398.4 us) — the down kernel is phase-rebuild-bound, not
+        # weight-stream-bound, and the resident pick shrinks th. Streamed
+        # 128-column blocks stay the policy.
         if co % 128 == 0 and 9 * c * 128 * itemsize <= _W_BUDGET:
             tco = 128
         elif 9 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:
@@ -1464,6 +1474,11 @@ def _pick_tiles_up(h: int, w: int, c: int, co: int, itemsize: int,
         return prologue + 2 * wbytes + acc + io
 
     def pick_l():
+        # NOTE: the stride-1 weight-resident tco policy was A/B'd here too
+        # and REGRESSED (journal 2026-08-19 matrix2: up 256^2x256 b1
+        # 1218.9 -> 1838.3 us) — the resident pick's bigger accumulator
+        # forces a smaller th and the upsample is compute-bound, not
+        # weight-stream-bound. Streamed 128-column blocks stay the policy.
         if co % 128 == 0 and 16 * c * 128 * itemsize <= _W_BUDGET:
             tco = 128
         elif 16 * c * co * itemsize <= _W_BUDGET and co % 8 == 0:

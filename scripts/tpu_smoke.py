@@ -139,17 +139,32 @@ def stage_conv():
     # folded batch with fold_m < B (and < 8): the Mosaic block rule only
     # allows such a sublane block via the singleton-dim affine specs —
     # the b4 case above has fold_m == B and cannot catch a regression
-    # there (BENCH r4 run1: b8 VAE 64^2x512 picks fold_m=2 and crashed).
+    # there (BENCH r4 run1 crashed on a fold_m=2 pick). 384 channels:
+    # the round-5 _PREF_L policy moved the c >= 512 b8 shapes to
+    # weight-resident regime L, so the UNet's 320->384-ch class is now
+    # the graph's fold_m=2 representative (b8 64^2x320, matrix2).
     # extra_bias rides along to cover the (fold_m, 1, TCo) eb spec too.
-    w8, b8_ = t(3, 3, 512, 512, scale=0.02), t(512, scale=0.1)
-    x8 = t(8, 64, 64, 512)
-    a8 = jnp.ones((8, 512), jnp.float32)
-    b8b = jnp.zeros((8, 512), jnp.float32)
-    eb8 = t(8, 512, scale=0.1).astype(jnp.float32)
-    assert fc._pick_tiles(64, 64, 512, 512, 2, bsz=8)[4] not in (0, 8), \
+    w8, b8_ = t(3, 3, 384, 384, scale=0.02), t(384, scale=0.1)
+    x8 = t(8, 64, 64, 384)
+    a8 = jnp.ones((8, 384), jnp.float32)
+    b8b = jnp.zeros((8, 384), jnp.float32)
+    eb8 = t(8, 384, scale=0.1).astype(jnp.float32)
+    assert fc._pick_tiles(64, 64, 384, 384, 2, bsz=8)[4] not in (0, 8), \
         "shape no longer picks a fold_m < 8 — pick another smoke shape"
     y8 = fc.fused_gn_silu_conv3x3(x8, w8, b8_, a=a8, b=b8b, extra_bias=eb8)
     ok("gn_silu_conv_folded_b8_m2", y8[0])
+    # b8 weight-resident regime L (the round-5 _PREF_L pick): c >= 512 at
+    # bsz > 1 now runs the (b, i) grid with the full weight tensor
+    # resident (nco == 1) — the exact class the policy moved off fold
+    w5, b5_ = t(3, 3, 512, 512, scale=0.02), t(512, scale=0.1)
+    x5 = t(8, 64, 64, 512)
+    a5 = jnp.ones((8, 512), jnp.float32)
+    b5b = jnp.zeros((8, 512), jnp.float32)
+    pk = fc._pick_tiles(64, 64, 512, 512, 2, bsz=8)
+    assert pk[4] == 0 and pk[1] == 512, \
+        f"b8 64^2x512 no longer picks weight-resident regime L: {pk}"
+    y5 = fc.fused_gn_silu_conv3x3(x5, w5, b5_, a=a5, b=b5b)
+    ok("gn_silu_conv_b8_resident", y5[0])
     # b8 regime-L (big-spatial, NON-fold, nbuf=2 multi-tile grid) — the
     # bench's b8 decoder path; 192^2 keeps the smoke fast
     xl8 = t(8, 192, 192, 128)

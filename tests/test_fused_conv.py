@@ -418,6 +418,19 @@ class TestDownsampleKernel:
         np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
                                    rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
 
+    def test_streamed_tco_policy_pinned(self):
+        """Regression guard for a journaled NEGATIVE result (2026-08-19
+        matrix2): the stride-1 weight-resident tco policy applied to the
+        down picker REGRESSED on-chip (th shrinks; the kernel is
+        phase-rebuild-bound) — the down picker must keep streamed
+        128-column weight blocks even when the full tensor would fit
+        FC_W_RES_MB. (bsz=2 + large H keeps the pick in regime L — regime
+        S whole-image tiles legitimately use full-co streamed blocks.)"""
+        B, H, W, C, Co = 2, 512, 64, 512, 256
+        th, tco, nbuf, big = fc._pick_tiles_down(H // 2, W, C, Co, 4,
+                                                 bsz=B)
+        assert not big and tco == 128, (th, tco, big)
+
     def test_multi_tile_and_prefetch(self):
         """A shape whose pick gives nh > 1 (halo DMA + per-tile phase
         rebuild); prefetch nbuf follows the picker."""
@@ -454,6 +467,14 @@ class TestUpsampleKernel:
         rf = np.asarray(ref, np.float64)
         np.testing.assert_allclose(np.asarray(st.sum(1))[:, 0],
                                    rf.sum((1, 2)), rtol=1e-3, atol=1e-3)
+
+    def test_streamed_tco_policy_pinned(self):
+        """Same journaled negative result as the down picker (matrix2: up
+        256^2x256 b1 1218.9 -> 1838.3 us with a resident pick): the up
+        picker keeps streamed 128-column weight blocks in regime L."""
+        B, H, W, C, Co = 2, 256, 32, 128, 256
+        th, tco, nbuf, big = fc._pick_tiles_up(H, W, C, Co, 4, bsz=B)
+        assert not big and tco == 128, (th, tco, big)
 
     def test_skip_fusion_and_multi_tile(self):
         """Epilogue 1x1 skip at output resolution + nh > 1 halo path
