@@ -605,20 +605,24 @@ def plain_conv3x3(conv_p, x, emit_stats: bool = False):
 def downsample2x_conv(conv_p, x, pad_lo: int, emit_stats: bool = False):
     """Stride-2 conv3x3 (VAE encoder pad_lo=0, UNet downsample pad_lo=1).
 
-    On TPU: a phase-decomposed Pallas kernel (ops/fused_conv.
-    downsample2x_conv3x3) — keeps the downsample off XLA's conv fuser,
-    whose schedule collapses at Pallas boundaries, and can emit output
-    stats for GN chaining. Elsewhere: the strided XLA conv.
+    Default: the strided XLA conv — the round-5 in-graph arbiter showed
+    the stride-2 class does NOT suffer the Pallas-boundary schedule
+    collapse that motivates the stride-1/up kernels, and XLA is 1.6-3x
+    faster on it (journal 2026-08-19). FC_XLA_DOWN=0 re-enables the
+    phase-decomposed Pallas kernel (ops/fused_conv.downsample2x_conv3x3),
+    which also emits output stats for GN chaining.
     """
     kernel = conv_p["kernel"]
     import os
     if kernel.shape[0] == 3 and x.ndim == 4 and _pallas_tpu() \
-            and os.environ.get("FC_XLA_DOWN") != "1":
-        # FC_XLA_DOWN=1: in-graph A/B arbiter — the Pallas down kernel
-        # LOSES to an isolated XLA strided conv (matrix2 2026-08-19:
-        # 128^2x512 b1 0.58x, b8 0.31x — phase-rebuild VPU cost), but it
-        # exists to avoid the XLA-conv-at-Pallas-boundary schedule
-        # collapse; only an e2e A/B can arbitrate.
+            and os.environ.get("FC_XLA_DOWN", "1") != "1":
+        # Default: the XLA strided conv. The in-graph arbiter (journal
+        # 2026-08-19 chain_r5b) measured the Pallas down kernel LOSING
+        # e2e — b8 306.7 -> 292.4 ms and b1 40.72 -> 40.69 ms with XLA
+        # down — consistent with its isolated 0.31-0.61x (phase-rebuild
+        # VPU cost), and the feared XLA-conv-at-Pallas-boundary schedule
+        # collapse did NOT materialize for the stride-2 shape class.
+        # FC_XLA_DOWN=0 re-enables the kernel for future A/Bs.
         from img2img_turbo_tpu.ops import fused_conv
         if fused_conv.downsample_supported(x.shape, kernel.shape[-1],
                                            x.dtype.itemsize):
